@@ -1,0 +1,236 @@
+"""Local-Global Transformer (LGT) — LGTEUN's prior module.
+
+TPU-native redesign of the reference U-shaped transformer (reference:
+models/common/LGT.py:251-344):
+
+  patch_embed -> [LGB, down x2ch]* -> bottleneck LGB
+              -> [up /2ch, skip-fuse, LGB]* -> tail + residual
+
+where each LGB block is `x += LGMixer(LN(x)); x += FFN(LN(x))`
+(reference LGT.py:222-248) and LGMixer splits channels in half:
+
+- local branch: non-overlapping win x win window MHSA with a learned
+  [heads, win², win²] position bias (reference LGT.py:112-146). Here
+  the window partition is a reshape/transpose and the attention is
+  batched einsum over all windows — MXU-shaped; a Pallas fused kernel
+  can be swapped in via `ops.window_attention`.
+- global branch: FFT mixer — rfft2, depthwise 1x1 convs on amplitude
+  and phase, recombine amp*cos/sin(pha) (+1e-8 epsilons, reproduced
+  exactly), irfft2, abs (reference LGT.py:149-180).
+
+All tensors are NHWC. Dropout(0.1) after the mixer projection matches
+the reference (LGT.py:198).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lgteun_tpu.models.common.layers import (
+    Conv,
+    DepConv,
+    PointConv,
+    PointDepConv,
+    sampling,
+    trunc_normal_init,
+)
+
+__all__ = ["LGT", "LGB", "LGMixer", "window_attention_reference"]
+
+
+def window_partition(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """[B,H,W,C] -> [B*nH*nW, win*win, C]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // win, win, w // win, win, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * (h // win) * (w // win), win * win, c)
+
+
+def window_unpartition(x: jnp.ndarray, win: int, hw: tuple[int, int],
+                       b: int) -> jnp.ndarray:
+    """Inverse of `window_partition`."""
+    h, w = hw
+    c = x.shape[-1]
+    x = x.reshape(b, h // win, w // win, win, win, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def window_attention_reference(q, k, v, pos_bias, scale):
+    """Plain-XLA window MHSA: q,k,v [N, heads, seq, hd]; pos_bias
+    [heads, seq, seq]. Returns [N, heads, seq, hd]."""
+    sim = jnp.einsum("nhic,nhjc->nhij", q * scale, k)
+    sim = sim + pos_bias[None]
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("nhij,nhjc->nhic", attn, v)
+
+
+class LocalMixer(nn.Module):
+    """Windowed MHSA half of LGMixer (reference LGT.py:112-146)."""
+
+    win_size: int = 8
+    num_heads: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        hd = c // heads
+        scale = hd ** -0.5
+        seq = self.win_size * self.win_size
+
+        pos = self.param("pos_emb", trunc_normal_init(std=1.0),
+                         (heads, seq, seq))
+
+        xw = window_partition(x, self.win_size)  # [N, seq, c]
+        qkv = PointConv(3 * c, name="to_qkv")(xw[:, None])[:, 0]  # 1x1 conv == dense
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            n = t.shape[0]
+            return t.reshape(n, seq, heads, hd).transpose(0, 2, 1, 3)
+
+        out = window_attention_reference(
+            heads_first(q), heads_first(k), heads_first(v), pos, scale)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, seq, c)
+        return window_unpartition(out, self.win_size, (h, w), b)
+
+
+class GlobalMixer(nn.Module):
+    """FFT amplitude/phase mixer half of LGMixer (reference
+    LGT.py:149-180), epsilons included."""
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[-3], x.shape[-2]
+        fre = jnp.fft.rfft2(x, axes=(-3, -2), norm="backward")
+        # |z| and angle(z) have NaN gradients at z == 0 (conj(z)/|z|);
+        # exactly-zero bins occur for constant windows. The double-where
+        # pattern keeps forward values identical (amp=0, pha=0, matching
+        # torch.abs/angle at 0) while zeroing the gradient there.
+        re, im = jnp.real(fre), jnp.imag(fre)
+        zero = (re == 0.0) & (im == 0.0)
+        re_safe = jnp.where(zero, 1.0, re)
+        im_safe = jnp.where(zero, 0.0, im)
+        amp = jnp.where(zero, 0.0, jnp.sqrt(re_safe**2 + im_safe**2))
+        pha = jnp.where(zero, 0.0, jnp.arctan2(im_safe, re_safe))
+        amp = DepConv(kernel_size=1, name="conv_amp")(amp)
+        pha = DepConv(kernel_size=1, name="conv_pha")(pha)
+        real = amp * jnp.cos(pha) + 1e-8
+        imag = amp * jnp.sin(pha) + 1e-8
+        out = jax.lax.complex(real, imag) + (1e-8 + 0j)
+        out = jnp.fft.irfft2(out, s=(h, w), axes=(-3, -2), norm="backward")
+        return jnp.abs(out)
+
+
+class LGMixer(nn.Module):
+    """Half-channel local/global split mixer (reference LGT.py:183-219)."""
+
+    win_size: int = 8
+    num_heads: int = 2
+    drop_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = x.shape[-1]
+        half = c // 2
+        x1 = LocalMixer(self.win_size, self.num_heads, name="local")(x[..., :half])
+        x2 = GlobalMixer(name="global")(x[..., half:])
+        out = jnp.concatenate([x1, x2], axis=-1)
+        out = PointConv(c, name="proj")(out)
+        out = nn.Dropout(self.drop_rate, deterministic=deterministic)(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """Conv-MLP: point(4x) -> GELU -> point+depthwise -> GELU -> point
+    (reference LGT.py:91-109)."""
+
+    ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = PointConv(c * self.ratio)(x)
+        y = jax.nn.gelu(y, approximate=False)
+        y = PointDepConv(c * self.ratio)(y)
+        y = jax.nn.gelu(y, approximate=False)
+        return PointConv(c)(y)
+
+
+class LGB(nn.Module):
+    """num_blocks x [x += mixer(LN(x)); x += ffn(LN(x))]
+    (reference LGT.py:222-248)."""
+
+    num_blocks: int
+    win_size: int = 8
+    num_heads: int = 2
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for i in range(self.num_blocks):
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_mix_{i}")(x)
+            x = x + LGMixer(self.win_size, self.num_heads, name=f"mixer_{i}")(
+                y, deterministic=deterministic)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_ffn_{i}")(x)
+            x = x + FeedForward(name=f"ffn_{i}")(y)
+        return x
+
+
+class LGT(nn.Module):
+    """U-shaped local-global transformer (reference LGT.py:251-344).
+
+    in/out: NHWC [B,H,W,in_channels]; residual add at the end.
+    """
+
+    in_channels: int
+    embed_channels: int
+    patch_size: int = 1
+    window_size: int = 8
+    num_block: Sequence[int] = (2, 1)
+    num_heads: int = 2
+    patch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        scales = len(self.num_block)
+
+        # patch embed: depthwise kxk stride k + point conv (+ LN)
+        c_in = x.shape[-1]
+        fea = Conv(c_in, kernel_size=(self.patch_size, self.patch_size),
+                   strides=(self.patch_size, self.patch_size), padding="VALID",
+                   feature_group_count=c_in, name="patch_dw")(x)
+        fea = PointConv(self.embed_channels, name="patch_pw")(fea)
+        if self.patch_norm:
+            fea = nn.LayerNorm(epsilon=1e-5, name="patch_norm_ln")(fea)
+
+        ch = self.embed_channels
+        skips = []
+        for i in range(scales - 1):
+            fea = LGB(self.num_block[i], self.window_size, self.num_heads,
+                      name=f"enc_lgb_{i}")(fea, deterministic=deterministic)
+            skips.append(fea)
+            fea = sampling(fea, 0.5)
+            fea = PointConv(ch * 2, name=f"enc_down_{i}")(fea)
+            ch *= 2
+
+        fea = LGB(self.num_block[-1], self.window_size, self.num_heads,
+                  name="bottleneck")(fea, deterministic=deterministic)
+
+        for i in range(scales - 1):
+            fea = sampling(fea, 2)
+            fea = PointConv(ch // 2, name=f"dec_up_{i}")(fea)
+            fea = jnp.concatenate([fea, skips[scales - 2 - i]], axis=-1)
+            fea = PointConv(ch // 2, name=f"dec_fuse_{i}")(fea)
+            fea = LGB(self.num_block[scales - 2 - i], self.window_size,
+                      self.num_heads, name=f"dec_lgb_{i}")(
+                          fea, deterministic=deterministic)
+            ch //= 2
+
+        out = sampling(fea, self.patch_size)
+        out = PointConv(self.in_channels, name="tail")(out)
+        return out + x
