@@ -1,0 +1,62 @@
+"""Benchmark: LGTEUN batched fusion throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): pan-sharpened megapixels/sec/chip on
+WV-3-shaped inputs (8-band, LrMS 32x32 -> HrMS 128x128) with the
+K=2-stage LGTEUN. Baseline: the reference measures 0.0133 s/img on a
+RTX 3090 (paper Table 4, measurement loop reference
+base_model.py:299-302), i.e. 16384 px / 0.0133 s = 1.232 MP/s.
+The >=10x target therefore sits at vs_baseline >= 10.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_SECONDS_PER_IMG = 0.0133  # RTX 3090, WV-3, paper Table 4
+IMG_PIXELS = 128 * 128
+REF_MPS = IMG_PIXELS / REF_SECONDS_PER_IMG / 1e6
+
+
+def main():
+    from lgteun_tpu.models.lgteun import LGTEUN
+
+    batch = 64
+    c = 8
+    model = LGTEUN(ms_chans=c, stage=2)
+    rng = np.random.default_rng(0)
+    ms = jnp.asarray(rng.uniform(0, 1, (batch, 32, 32, c)), jnp.float32)
+    pan = jnp.asarray(rng.uniform(0, 1, (batch, 128, 128, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ms[:1], pan[:1])
+
+    @jax.jit
+    def forward(p, ms_, pan_):
+        return model.apply(p, ms_, pan_)
+
+    # warmup/compile
+    forward(params, ms, pan).block_until_ready()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = forward(params, ms, pan)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    mps = imgs_per_sec * IMG_PIXELS / 1e6
+    print(json.dumps({
+        "metric": "wv3_lgteun_fused_megapixels_per_sec_per_chip",
+        "value": round(mps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / REF_MPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+# LGTEUN (UnlgFormer) shipped config — hyperparameters mirror the
+# reference exactly (reference: configs/unlg_former.py).
+#
+# Dataset selection works like the reference: parallel lists indexed by
+# `index` (reference configs/unlg_former.py:12-19). Data is expected
+# under $LGTEUN_DATA_ROOT/{datas}/{split}; set LGTEUN_SYNTH=1 to run on
+# generated synthetic data instead (tests/benchmarks).
+
+import os
+
+name = "LGTEUN"
+dataset = ["GF-2", "WV-2", "WV-3"]
+ms_chans_list = [4, 4, 8]
+index = int(os.environ.get("LGTEUN_DATA_INDEX", 2))
+
+datas = dataset[index]
+ms_chans = ms_chans_list[index]
+
+model_type = "UnlgFormer"
+data_root = os.environ.get("LGTEUN_DATA_ROOT", "data/PSData3/Dataset")
+work_dir = f"data/model_out/{name}"
+log_dir = f"logs/{model_type.lower()}/{datas}"
+
+only_test = False
+
+aug_dict = {"lr_flip": 0.5, "ud_flip": 0.5}
+
+bit_depth = 11
+train_set_cfg = dict(
+    dataset=dict(type="PSDataset",
+                 image_dirs=[f"{data_root}/{datas}/train_reduce_res"],
+                 bit_depth=bit_depth),
+    batch_size=4,
+    shuffle=True)
+test_set0_cfg = dict(
+    dataset=dict(type="PSDataset",
+                 image_dirs=[f"{data_root}/{datas}/test_full_res"],
+                 bit_depth=bit_depth),
+    batch_size=1,
+    shuffle=False)
+test_set1_cfg = dict(
+    dataset=dict(type="PSDataset",
+                 image_dirs=[f"{data_root}/{datas}/test_reduce_res"],
+                 bit_depth=bit_depth),
+    batch_size=1,
+    shuffle=False)
+
+seed = 19971118
+max_iter_list = [259000, 253000, 35000]
+max_iter = max_iter_list[index]
+step_list = [25900, 25300, 22750]
+step = step_list[index]
+
+save_freq = 10000
+test_freq = 10000
+eval_freq = 10000
+
+norm_input = True
+
+optim_cfg = {"core_module": dict(type="Adam", betas=(0.9, 0.999), lr=1.5e-3)}
+sched_cfg = dict(step_size=step, gamma=0.85)
+loss_cfg = {"rec_loss": dict(type="l1", w=1.0)}
+model_cfg = {"core_module": dict(stage=2)}
+
+# TPU execution: batched eval (the reference evaluates per-image)
+eval_batch_size = 16

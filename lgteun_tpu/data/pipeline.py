@@ -70,16 +70,18 @@ def train_iterator(dataset, batch_size: int, *, bit_depth: int = 11,
     rng = np.random.default_rng(seed)
     n = len(dataset)
     keys = [k for k in dataset[0] if k != "image_id"]
+    # Queue of shuffled indices, refilled with fresh permutations: works
+    # for any batch_size (including > dataset size) and never stalls.
+    queue: list[int] = []
     while True:
-        order = rng.permutation(n)
-        end = n - (n % batch_size) if drop_remainder else n
-        for start in range(0, end, batch_size):
-            idx = order[start:start + batch_size]
-            batch = {k: np.stack([dataset[i][k] for i in idx]) for k in keys}
-            batch = _augment(batch, rng, aug_dict)
-            if normalize:
-                batch = data_normalize(batch, bit_depth)
-            yield {k: np.ascontiguousarray(v) for k, v in batch.items()}
+        while len(queue) < batch_size:
+            queue.extend(rng.permutation(n).tolist())
+        idx, queue = queue[:batch_size], queue[batch_size:]
+        batch = {k: np.stack([dataset[i][k] for i in idx]) for k in keys}
+        batch = _augment(batch, rng, aug_dict)
+        if normalize:
+            batch = data_normalize(batch, bit_depth)
+        yield {k: np.ascontiguousarray(v) for k, v in batch.items()}
 
 
 def eval_batches(dataset, batch_size: int, *, bit_depth: int = 11,

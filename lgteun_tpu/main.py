@@ -1,0 +1,100 @@
+"""Entry point: ``python -m lgteun_tpu.main -c <config.py>``.
+
+Mirrors the reference CLI and orchestration (reference: main.py:24-156):
+load config -> logger -> seed -> datasets -> method + runner ->
+init/load_checkpoint/load_pretrained -> set_optim -> train -> save ->
+test, all wrapped so failures log a traceback.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import sys
+import traceback
+
+import numpy as np
+
+from lgteun_tpu.config import Config, load_config
+from lgteun_tpu.data.dataset import PSDataset
+from lgteun_tpu.registry import build_model
+from lgteun_tpu.runner import Runner
+
+__all__ = ["main", "build_runner", "set_random_seed"]
+
+
+def set_random_seed(seed: int):
+    """Seed python/numpy (reference main.py:42-58; JAX PRNG keys are
+    derived explicitly from cfg.seed, so determinism is structural)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def make_logger(cfg: Config) -> logging.Logger:
+    logger = logging.getLogger("lgteun")
+    logger.setLevel(getattr(logging, cfg.log_level, logging.INFO))
+    if not logger.handlers:
+        fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        log_dir = cfg.log_dir or os.path.join("logs", cfg.model_type.lower(), cfg.datas)
+        os.makedirs(log_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(log_dir, f"{cfg.name}.log"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def build_runner(cfg: Config, logger=None) -> Runner:
+    """Datasets + method + runner (reference main.py:71-99)."""
+    def make_ds(loader_cfg):
+        if not loader_cfg.dataset.image_dirs:
+            return None
+        return PSDataset(loader_cfg.dataset.image_dirs,
+                         bit_depth=loader_cfg.dataset.bit_depth,
+                         norm_input=False)
+
+    train_ds = make_ds(cfg.train_set_cfg)
+    test_ds_full = make_ds(cfg.test_set0_cfg)
+    test_ds_reduced = make_ds(cfg.test_set1_cfg)
+    method = build_model(cfg.model_type, cfg)
+    return Runner(cfg, method, train_ds, test_ds_full, test_ds_reduced,
+                  logger=logger)
+
+
+def main(cfg: Config, logger: logging.Logger) -> Runner:
+    set_random_seed(cfg.seed)
+    runner = build_runner(cfg, logger)
+    runner.init()
+    if cfg.checkpoint:
+        runner.load_checkpoint(cfg.checkpoint)
+    elif cfg.pretrained:
+        runner.load_pretrained(cfg.pretrained)
+    runner.set_optim() if runner.method.trainable else None
+    if not cfg.only_test and cfg.max_iter > 0:
+        runner.train()
+        runner.save(cfg.max_iter)
+    runner.test(iter_id=cfg.max_iter, save=True, ref=True)
+    return runner
+
+
+def cli():
+    parser = argparse.ArgumentParser(description="lgteun_tpu runner")
+    parser.add_argument("-c", "--config", required=True,
+                        help="path to a Python config file")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    logger = make_logger(cfg)
+    logger.info(f"config: {cfg}")
+    try:
+        main(cfg, logger)
+    except Exception:
+        logger.error(traceback.format_exc())
+        raise
+
+
+if __name__ == "__main__":
+    cli()

