@@ -40,7 +40,11 @@ class Method:
         self.cfg = cfg
 
     # -- pure functions -------------------------------------------------
-    def init_params(self, rng) -> Params:
+    def init_params(self, rng, sample_hw: tuple[int, int] | None = None) -> Params:
+        """``sample_hw`` = (ms_size, pan_size) spatial sizes used to
+        trace initialisation (matters for modules whose dense layers
+        depend on image size, e.g. MutInf's MI encoder). Defaults to the
+        reference's 32/128 contract."""
         raise NotImplementedError
 
     def apply(self, params: Params, batch: dict, *, train: bool = False,
@@ -80,10 +84,11 @@ class FlaxMethod(Method):
         super().__init__(cfg)
         self.module = self.make_module()
 
-    def init_params(self, rng) -> Params:
+    def init_params(self, rng, sample_hw=None) -> Params:
         c = self.cfg.ms_chans
-        ms = jnp.zeros((1, 8, 8, c), jnp.float32)
-        pan = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        ms_size, pan_size = sample_hw or (8, 32)
+        ms = jnp.zeros((1, ms_size, ms_size, c), jnp.float32)
+        pan = jnp.zeros((1, pan_size, pan_size, 1), jnp.float32)
         variables = self.module.init(rng, ms, pan)
         return {"core_module": variables["params"]}
 
@@ -105,7 +110,7 @@ class ClassicalMethod(Method):
     module_names: tuple[str, ...] = ()
     fuse_fn = None  # staticmethod set by subclass
 
-    def init_params(self, rng) -> Params:
+    def init_params(self, rng, sample_hw=None) -> Params:
         return {}
 
     def apply(self, params, batch, *, train=False, rng=None):

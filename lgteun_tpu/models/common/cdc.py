@@ -65,7 +65,7 @@ class CDCConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        gate = self.param("hp_branch", nn.initializers.zeros, (1,))
+        gate = self.param("hp_branch", nn.initializers.zeros, (1,), jnp.float32)
         h = _FiveTapConv(self.features, tuple(_CROSS_POS), self.theta,
                          name="h_conv")(x)
         d = _FiveTapConv(self.features, tuple(_DIAG_POS), self.theta,

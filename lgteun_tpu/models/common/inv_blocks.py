@@ -27,38 +27,19 @@ import numpy as np
 __all__ = ["InvertibleConv1x1", "UNetConvBlock", "DenseBlock", "InvBlock"]
 
 
-def _lu_partial_pivot(a: np.ndarray):
-    """Plain LU with partial pivoting: returns (P, L, U) with
-    P @ L @ U == a (scipy.linalg.lu convention)."""
-    n = a.shape[0]
-    u = a.astype(np.float64).copy()
-    l = np.eye(n)
-    perm = np.arange(n)
-    for k in range(n - 1):
-        piv = k + np.argmax(np.abs(u[k:, k]))
-        if piv != k:
-            u[[k, piv], k:] = u[[piv, k], k:]
-            l[[k, piv], :k] = l[[piv, k], :k]
-            perm[[k, piv]] = perm[[piv, k]]
-        for i in range(k + 1, n):
-            l[i, k] = u[i, k] / u[k, k]
-            u[i, k:] -= l[i, k] * u[k, k:]
-    p = np.zeros((n, n))
-    p[perm, np.arange(n)] = 1.0
-    return p, l, np.triu(u)
-
-
 def _lu_init(key, num_channels: int):
-    w = np.asarray(jax.random.normal(key, (num_channels, num_channels)))
-    q = np.linalg.qr(w)[0].astype(np.float64)
-    p, l, u = _lu_partial_pivot(q)
-    s = np.diag(u)
+    """Orthogonal (QR of a standard normal) -> LU factors, all in
+    traceable JAX ops (flax jits param initialisers)."""
+    w = jax.random.normal(key, (num_channels, num_channels))
+    q = jnp.linalg.qr(w)[0]
+    p, l, u = jax.scipy.linalg.lu(q)
+    s = jnp.diag(u)
     return {
-        "p": jnp.asarray(p, jnp.float32),
-        "sign_s": jnp.asarray(np.sign(s), jnp.float32),
-        "l": jnp.asarray(l, jnp.float32),
-        "log_s": jnp.asarray(np.log(np.abs(s)), jnp.float32),
-        "u": jnp.asarray(np.triu(u, k=1), jnp.float32),
+        "p": p.astype(jnp.float32),
+        "sign_s": jnp.sign(s).astype(jnp.float32),
+        "l": l.astype(jnp.float32),
+        "log_s": jnp.log(jnp.abs(s)).astype(jnp.float32),
+        "u": jnp.triu(u, k=1).astype(jnp.float32),
     }
 
 

@@ -135,12 +135,12 @@ class WindowAttention(nn.Module):
 
         if self.relative_pos_embedding:
             table = self.param("pos_embedding", nn.initializers.normal(1.0),
-                               (2 * w - 1, 2 * w - 1))
+                               (2 * w - 1, 2 * w - 1), jnp.float32)
             idx = _relative_index(w)
             dots = dots + table[idx[:, :, 0], idx[:, :, 1]]
         else:
             pos = self.param("pos_embedding", nn.initializers.normal(1.0),
-                             (w * w, w * w))
+                             (w * w, w * w), jnp.float32)
             dots = dots + pos
 
         if self.shifted:

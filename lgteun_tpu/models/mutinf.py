@@ -78,8 +78,8 @@ class _HINConvBlock(nn.Module):
         mu = jnp.mean(a, axis=(1, 2), keepdims=True)
         var = jnp.var(a, axis=(1, 2), keepdims=True)
         a = (a - mu) / jnp.sqrt(var + 1e-5)
-        gamma = self.param("in_gamma", nn.initializers.ones, (half,))
-        beta = self.param("in_beta", nn.initializers.zeros, (half,))
+        gamma = self.param("in_gamma", nn.initializers.ones, (half,), jnp.float32)
+        beta = self.param("in_beta", nn.initializers.zeros, (half,), jnp.float32)
         a = a * gamma + beta
         out = jnp.concatenate([a, b], axis=-1)
         out = nn.leaky_relu(out, self.relu_slope)
@@ -218,13 +218,17 @@ class MutInf(FlaxMethod):
         self.mi_module = MutualInfoReg(input_channels=4, channels=4,
                                        latent_size=4)
 
-    def init_params(self, rng):
+    def init_params(self, rng, sample_hw=None):
         c = self.cfg.ms_chans
+        ms_size, pan_size = sample_hw or (32, 128)
         k1, k2 = jax.random.split(rng)
-        ms = jnp.zeros((1, 8, 8, c), jnp.float32)
-        pan = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        ms = jnp.zeros((1, ms_size, ms_size, c), jnp.float32)
+        pan = jnp.zeros((1, pan_size, pan_size, 1), jnp.float32)
         core = self.module.init(k1, ms, pan)["params"]
-        feat = jnp.zeros((1, 32, 32, 4), jnp.float32)
+        # MI encoder flattens pan_size/4-sized maps into its Dense
+        # layers (the reference hard-codes 128 -> 32*32,
+        # reference losses.py:175-178)
+        feat = jnp.zeros((1, pan_size, pan_size, 4), jnp.float32)
         mi = self.mi_module.init(k2, feat, feat, rng=k2)["params"]
         return {"core_module": core, "mi": mi}
 

@@ -123,7 +123,13 @@ class Runner:
         """Initialise parameters (reference lifecycle: main.py:102-114)."""
         seed = self.cfg.seed if seed is None else seed
         rng = jax.random.PRNGKey(seed)
-        self.params = self.method.init_params(rng)
+        sample_hw = None
+        for ds in (self.train_ds, self.test_ds_reduced, self.test_ds_full):
+            if ds is not None and len(ds) > 0:
+                s = ds[0]
+                sample_hw = (s["input_lr"].shape[0], s["input_pan"].shape[0])
+                break
+        self.params = self.method.init_params(rng, sample_hw)
         self.params = jax.device_put(self.params, self.param_sharding)
         for mod, n in self.method.param_counts(self.params).items():
             self.logger.info(f"Total params of module {mod}: {n:,}")

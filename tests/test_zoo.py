@@ -20,8 +20,9 @@ def _make(model_type, c=4, **model_kw):
 
 
 def test_registry_contents():
+    """All 10 reference methods registered (reference models/__init__.py)."""
     for name in ["UnlgFormer", "GSA", "SFIM", "Wavelet", "lightnet",
-                 "PanFormer"]:
+                 "PanFormer", "SFIIN", "MutInf", "INNT", "MDCUN"]:
         assert name in MODELS, MODELS.keys()
 
 
@@ -71,3 +72,28 @@ def test_panformer_window_shift_consistency():
     m = _make("PanFormer", c=4, n_feats=16, n_heads=2, head_dim=8,
               win_size=4, n_blocks=1)
     _roundtrip(m, c=4)
+
+
+# Paper Table 4 parameter counts (SURVEY.md §6). Tolerance 2.5%: our
+# LU-parameterised invertible 1x1 convs carry frozen P/sign buffers in
+# the param tree that torch registers as non-parameter buffers.
+@pytest.mark.parametrize("name,c,want,train", [
+    ("SFIIN", 8, 85_800, True),
+    ("MutInf", 8, 185_800, True),
+    ("INNT", 8, 38_300, False),     # fwd-only: patch search is heavy on CPU
+    ("MDCUN", 8, 140_900, False),
+    ("MDCUN", 4, 98_300, False),
+])
+def test_invnet_zoo_params(name, c, want, train):
+    m = _make(name, c=c)
+    params = m.init_params(jax.random.PRNGKey(0), (32, 128)) \
+        if name == "MutInf" else m.init_params(jax.random.PRNGKey(0))
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert abs(n - want) / want < 0.025, (name, n, want)
+
+
+@pytest.mark.parametrize("name", ["SFIIN", "MutInf", "INNT", "MDCUN"])
+def test_invnet_zoo_forward(name):
+    m = _make(name, c=4)
+    train = name in ("SFIIN",)
+    _roundtrip(m, c=4, train=train)
