@@ -28,27 +28,37 @@ def main():
 
     batch = 64
     c = 8
+    n_iters = 10
     model = LGTEUN(ms_chans=c, stage=2)
     rng = np.random.default_rng(0)
     ms = jnp.asarray(rng.uniform(0, 1, (batch, 32, 32, c)), jnp.float32)
     pan = jnp.asarray(rng.uniform(0, 1, (batch, 128, 128, 1)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), ms[:1], pan[:1])
 
+    # The whole timing loop lives inside ONE jit with a data dependency
+    # between iterations (each forward perturbs the next input), so
+    # async dispatch / unreliable block_until_ready on tunneled
+    # platforms cannot fake the timing; one final tiny readback syncs.
     @jax.jit
-    def forward(p, ms_, pan_):
-        return model.apply(p, ms_, pan_)
+    def chained(p, ms_, pan_):
+        def body(_, carry):
+            ms_c, acc = carry
+            out = model.apply(p, ms_c, pan_)
+            # cheap dependency: nudge the input with the output mean
+            return ms_c + 1e-12 * jnp.mean(out), acc + jnp.mean(out)
 
-    # warmup/compile
-    forward(params, ms, pan).block_until_ready()
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (ms_, jnp.float32(0)))
+        return acc
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(params, ms, pan)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(chained(params, ms, pan))  # compile + warmup (incl. readback)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chained(params, ms, pan).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / n_iters  # per-forward
 
-    imgs_per_sec = batch * n_iters / dt
+    imgs_per_sec = batch / dt
     mps = imgs_per_sec * IMG_PIXELS / 1e6
     print(json.dumps({
         "metric": "wv3_lgteun_fused_megapixels_per_sec_per_chip",

@@ -70,13 +70,28 @@ def window_attention_reference(q, k, v, pos_bias, scale):
 
 
 class LocalMixer(nn.Module):
-    """Windowed MHSA half of LGMixer (reference LGT.py:112-146)."""
+    """Windowed MHSA half of LGMixer (reference LGT.py:112-146).
+
+    On TPU the whole qkv-projection + attention + head-merge pipeline
+    runs as one fused Pallas kernel (ops/window_attention.py); other
+    backends use the identical-math XLA path. `use_fused` overrides the
+    auto backend detection (tests)."""
 
     win_size: int = 8
     num_heads: int = 2
+    use_fused: bool | None = None
 
     @nn.compact
     def __call__(self, x):
+        from lgteun_tpu.models.common.layers import (
+            torch_conv_bias_init,
+            torch_conv_kernel_init,
+        )
+        from lgteun_tpu.ops.window_attention import (
+            fused_window_attention,
+            window_attention_xla,
+        )
+
         b, h, w, c = x.shape
         heads = self.num_heads
         hd = c // heads
@@ -85,18 +100,21 @@ class LocalMixer(nn.Module):
 
         pos = self.param("pos_emb", trunc_normal_init(std=1.0),
                          (heads, seq, seq))
+        # 1x1-conv qkv projection, held as raw params so both paths
+        # share them (torch Conv2d default init, fan_in = c)
+        wqkv = self.param("to_qkv_kernel", torch_conv_kernel_init,
+                          (1, 1, c, 3 * c))[0, 0]
+        bqkv = self.param("to_qkv_bias", torch_conv_bias_init(c),
+                          (3 * c,), jnp.float32)
 
         xw = window_partition(x, self.win_size)  # [N, seq, c]
-        qkv = PointConv(3 * c, name="to_qkv")(xw[:, None])[:, 0]  # 1x1 conv == dense
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads_first(t):
-            n = t.shape[0]
-            return t.reshape(n, seq, heads, hd).transpose(0, 2, 1, 3)
-
-        out = window_attention_reference(
-            heads_first(q), heads_first(k), heads_first(v), pos, scale)
-        out = out.transpose(0, 2, 1, 3).reshape(-1, seq, c)
+        fused = (jax.default_backend() == "tpu"
+                 if self.use_fused is None else self.use_fused)
+        if fused:
+            out = fused_window_attention(xw, wqkv, bqkv, pos,
+                                         heads=heads, scale=scale)
+        else:
+            out = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)
         return window_unpartition(out, self.win_size, (h, w), b)
 
 
