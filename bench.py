@@ -35,28 +35,30 @@ def main():
     pan = jnp.asarray(rng.uniform(0, 1, (batch, 128, 128, 1)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), ms[:1], pan[:1])
 
-    # The whole timing loop lives inside ONE jit with a data dependency
-    # between iterations (each forward perturbs the next input), so
-    # async dispatch / unreliable block_until_ready on tunneled
-    # platforms cannot fake the timing; one final tiny readback syncs.
+    # Honest timing on a tunneled TPU backend where block_until_ready
+    # is unreliable: issue N chained dispatches (each forward's output
+    # perturbs the next input, forcing sequential execution), end with
+    # one scalar readback that synchronises everything, and take the
+    # difference between an N2-iteration and an N1-iteration run so the
+    # fixed tunnel/readback latency cancels.
     @jax.jit
-    def chained(p, ms_, pan_):
-        def body(_, carry):
-            ms_c, acc = carry
-            out = model.apply(p, ms_c, pan_)
-            # cheap dependency: nudge the input with the output mean
-            return ms_c + 1e-12 * jnp.mean(out), acc + jnp.mean(out)
+    def step(p, ms_, pan_):
+        out = model.apply(p, ms_, pan_)
+        return ms_ + 1e-12 * jnp.mean(out), jnp.mean(out)
 
-        _, acc = jax.lax.fori_loop(0, n_iters, body, (ms_, jnp.float32(0)))
-        return acc
-
-    float(chained(params, ms, pan))  # compile + warmup (incl. readback)
-    times = []
-    for _ in range(3):
+    def run(n):
+        m = ms
         t0 = time.perf_counter()
-        chained(params, ms, pan).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = min(times) / n_iters  # per-forward
+        for _ in range(n):
+            m, acc = step(params, m, pan)
+        float(acc)  # sync
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warmup
+    n1, n2 = 5, 5 + n_iters
+    t1 = min(run(n1) for _ in range(2))
+    t2 = min(run(n2) for _ in range(2))
+    dt = max(t2 - t1, 1e-9) / (n2 - n1)  # per-forward, fixed costs cancelled
 
     imgs_per_sec = batch / dt
     mps = imgs_per_sec * IMG_PIXELS / 1e6

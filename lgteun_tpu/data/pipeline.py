@@ -43,9 +43,26 @@ def data_denormalize(img, bit_depth: int = 11):
 
 
 _FLIP_KEYS = ("input_lr", "input_pan", "input_pan_l", "target")
+_LR_KEYS = ("input_lr", "input_pan_l")  # crop offsets at 1x (others 4x)
+
+
+def _crop_resize(imgs: np.ndarray, crop_st: tuple[int, int], n: int) -> np.ndarray:
+    """Crop to (n-1)/n size at crop_st, bicubic(align_corners=True)
+    resize back (reference dataset/utils.py:178-191)."""
+    from lgteun_tpu.ops.resize import resize_bicubic
+
+    _, h, w, _ = imgs.shape
+    ch = h // n * (n - 1)
+    cw = w // n * (n - 1)
+    cropped = imgs[:, crop_st[0]:crop_st[0] + ch, crop_st[1]:crop_st[1] + cw, :]
+    return np.asarray(resize_bicubic(cropped, (h, w), align_corners=True))
 
 
 def _augment(batch: dict, rng: np.random.Generator, aug: dict | None) -> dict:
+    """Flip + random-crop augmentation (reference dataset/utils.py:155-229;
+    note the reference's shipped train loop has the augmentation call
+    commented out — base_model.py:179-180 — so parity runs disable this
+    by passing aug_dict=None)."""
     if not aug:
         return batch
     out = dict(batch)
@@ -57,6 +74,16 @@ def _augment(batch: dict, rng: np.random.Generator, aug: dict | None) -> dict:
         for k in _FLIP_KEYS:
             if k in out:
                 out[k] = out[k][:, :, ::-1, :]
+    for key, n in (("r4_crop", 4), ("r2_crop", 2)):
+        if rng.random() < aug.get(key, 0.0):
+            lr_h = out["input_lr"].shape[1]
+            lr_w = out["input_lr"].shape[2]
+            d0 = int(lr_h // n * rng.random())
+            d1 = int(lr_w // n * rng.random())
+            for k in _FLIP_KEYS:
+                if k in out:
+                    st = (d0, d1) if k in _LR_KEYS else (d0 * 4, d1 * 4)
+                    out[k] = _crop_resize(out[k], st, n)
     return out
 
 

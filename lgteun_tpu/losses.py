@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from lgteun_tpu.metrics.jax_metrics import d_lambda_global, d_s_global
-from lgteun_tpu.models.common.layers import Conv, torch_conv_bias_init
+from lgteun_tpu.nn_init import torch_conv_bias_init, torch_conv_kernel_init
 from lgteun_tpu.ops.resize import downsample
 
 __all__ = [
@@ -76,12 +76,17 @@ class MutualInfoReg(nn.Module):
 
     @nn.compact
     def __call__(self, feat_a, feat_b, *, rng):
+        def conv_s2(feats, in_ch, name):
+            return nn.Conv(feats, (4, 4), strides=(2, 2),
+                           padding=((1, 1), (1, 1)),
+                           kernel_init=torch_conv_kernel_init,
+                           bias_init=torch_conv_bias_init(16 * in_ch),
+                           name=name)
+
         def encode(x, l1, l2):
-            y = Conv(self.channels, kernel_size=(4, 4), strides=(2, 2),
-                     padding=((1, 1), (1, 1)), name=l1)(x)
+            y = conv_s2(self.channels, x.shape[-1], l1)(x)
             y = nn.leaky_relu(y, negative_slope=0.01)
-            y = Conv(self.channels, kernel_size=(4, 4), strides=(2, 2),
-                     padding=((1, 1), (1, 1)), name=l2)(y)
+            y = conv_s2(self.channels, self.channels, l2)(y)
             return y.reshape(y.shape[0], -1)
 
         fa = encode(feat_a, "layer1", "layer3")

@@ -1,0 +1,164 @@
+"""GAN infrastructure and auxiliary blocks (reference:
+models/common/modules.py:50-276 — present in the reference for its
+AdversarialLoss but unused by the shipped configs; implemented here for
+component parity so adv_loss configs work end-to-end).
+
+- `PixelDiscriminator` / `PatchDiscriminator` (reference
+  modules.py:111-160): per-pixel and PatchGAN (n_layers-deep, rf up to
+  574) discriminators with BN/IN/None norm.
+- `ResBlock` / `ResChAttnBlock` (reference modules.py:50-108).
+- `MeanShift` (reference modules.py:169-180) as a pure function.
+- `SFTLayer` (reference modules.py:263-276).
+
+The reference's `VGG_Discriminator`/`VGG_Feat` depend on a
+torchvision-pretrained VGG19; no pretrained VGG ships in this
+environment, so those stay unimplemented by design (configs requesting
+them raise a clear error).
+
+BatchNorm is implemented in inference-normalisation-free form (flax
+BatchNorm with running stats) — discriminators train with
+use_running_average=False.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lgteun_tpu.models.common.layers import Conv
+
+__all__ = ["PixelDiscriminator", "PatchDiscriminator", "ResBlock",
+           "ResChAttnBlock", "SFTLayer", "mean_shift"]
+
+
+def _norm(norm_type: str | None, name: str):
+    if norm_type is None:
+        return None
+    if norm_type == "BN":
+        return nn.BatchNorm(use_running_average=False, name=name)
+    if norm_type == "IN":
+        return nn.GroupNorm(group_size=1, name=name)  # instance norm
+    raise ValueError(f"no such norm layer: {norm_type!r}")
+
+
+class PixelDiscriminator(nn.Module):
+    """1x1-conv per-pixel discriminator (reference modules.py:111-126)."""
+
+    n_feats: int = 64
+    norm_type: str | None = "BN"
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.n_feats, (1, 1), name="conv0")(x)
+        y = nn.leaky_relu(y, 0.2)
+        y = Conv(self.n_feats * 2, (1, 1), name="conv1")(y)
+        norm = _norm(self.norm_type, "norm1")
+        if norm is not None:
+            y = norm(y)
+        y = nn.leaky_relu(y, 0.2)
+        return Conv(1, (1, 1), name="conv2")(y)
+
+
+class PatchDiscriminator(nn.Module):
+    """PatchGAN discriminator (reference modules.py:129-160)."""
+
+    n_feats: int = 64
+    n_layers: int = 3
+    norm_type: str | None = "BN"
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.n_feats, (4, 4), strides=(2, 2),
+                 padding=((1, 1), (1, 1)), name="conv0")(x)
+        y = nn.leaky_relu(y, 0.2)
+        mult = 1
+        for n in range(1, self.n_layers):
+            mult = min(2 ** n, 8)
+            y = Conv(self.n_feats * mult, (4, 4), strides=(2, 2),
+                     padding=((1, 1), (1, 1)), name=f"conv{n}")(y)
+            norm = _norm(self.norm_type, f"norm{n}")
+            if norm is not None:
+                y = norm(y)
+            y = nn.leaky_relu(y, 0.2)
+        mult = min(2 ** self.n_layers, 8)
+        y = Conv(self.n_feats * mult, (4, 4), strides=(1, 1),
+                 padding=((1, 1), (1, 1)), name="conv_pen")(y)
+        norm = _norm(self.norm_type, "norm_pen")
+        if norm is not None:
+            y = norm(y)
+        y = nn.leaky_relu(y, 0.2)
+        return Conv(1, (4, 4), strides=(1, 1), padding=((1, 1), (1, 1)),
+                    name="conv_out")(y)
+
+
+class ResBlock(nn.Module):
+    """conv-norm-relu-conv-norm + residual (reference modules.py:50-66)."""
+
+    n_feats: int
+    norm_type: str | None = "BN"
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.n_feats, (3, 3), name="conv0")(x)
+        norm = _norm(self.norm_type, "norm0")
+        if norm is not None:
+            y = norm(y)
+        y = nn.relu(y)
+        y = Conv(self.n_feats, (3, 3), name="conv1")(y)
+        norm = _norm(self.norm_type, "norm1")
+        if norm is not None:
+            y = norm(y)
+        return y + x
+
+
+class ResChAttnBlock(nn.Module):
+    """Residual channel-attention block (reference modules.py:69-108)."""
+
+    n_feats: int
+    norm_type: str | None = "BN"
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.n_feats, (3, 3), name="c1a")(x)
+        norm = _norm(self.norm_type, "n1a")
+        if norm is not None:
+            y = norm(y)
+        y = nn.relu(y)
+        y = Conv(self.n_feats, (3, 3), name="c1b")(y)
+        norm = _norm(self.norm_type, "n1b")
+        if norm is not None:
+            y = norm(y)
+
+        attn = jnp.mean(y, axis=(1, 2))  # GAP
+        attn = nn.Dense(self.n_feats // 2, name="fc0")(attn)
+        attn = nn.relu(attn)
+        attn = nn.Dense(self.n_feats, name="fc1")(attn)
+        attn = nn.sigmoid(attn)[:, None, None, :]
+
+        z = Conv(self.n_feats, (3, 3), name="c2")(
+            jnp.concatenate([attn * y, y], axis=-1))
+        norm = _norm(self.norm_type, "n2")
+        if norm is not None:
+            z = norm(z)
+        return z + x
+
+
+class SFTLayer(nn.Module):
+    """Spatial feature transform (reference modules.py:263-276)."""
+
+    n_feats: int = 32
+
+    @nn.compact
+    def __call__(self, features, conditions):
+        s = Conv(self.n_feats // 2, (1, 1), name="scale0")(conditions)
+        s = Conv(self.n_feats, (1, 1), name="scale1")(nn.leaky_relu(s, 0.1))
+        t = Conv(self.n_feats // 2, (1, 1), name="shift0")(conditions)
+        t = Conv(self.n_feats, (1, 1), name="shift1")(nn.leaky_relu(t, 0.1))
+        return features * (s + 1.0) + t
+
+
+def mean_shift(x, rgb_range, rgb_mean, rgb_std, sign=-1):
+    """Frozen per-channel affine (reference modules.py:169-180)."""
+    mean = jnp.asarray(rgb_mean, x.dtype)
+    std = jnp.asarray(rgb_std, x.dtype)
+    return x / std + sign * rgb_range * mean / std

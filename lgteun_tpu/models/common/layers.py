@@ -14,13 +14,17 @@ optimisation landscape:
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from lgteun_tpu.nn_init import (  # noqa: F401  (re-exported)
+    torch_conv_bias_init,
+    torch_conv_kernel_init,
+    trunc_normal_init,
+)
 from lgteun_tpu.ops.resize import sample_scale
 
 __all__ = [
@@ -28,38 +32,6 @@ __all__ = [
     "Conv", "PointConv", "DepConv", "PointDepConv", "SpanConv",
     "sampling", "LayerNorm",
 ]
-
-
-def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
-    """HWIO kernel init matching torch Conv2d default (kaiming_uniform
-    a=sqrt(5)): U(+-sqrt(1/fan_in)), fan_in = kh*kw*in_ch_per_group."""
-    kh, kw, in_pg, _ = shape
-    bound = math.sqrt(1.0 / (kh * kw * in_pg))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-
-def torch_conv_bias_init(fan_in: int) -> Callable:
-    bound = math.sqrt(1.0 / fan_in)
-
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
-
-
-def trunc_normal_init(std: float = 1.0, mean: float = 0.0,
-                      a: float = -2.0, b: float = 2.0) -> Callable:
-    """Truncated normal matching torch trunc_normal_ (reference
-    LGT.py:21-42): N(mean, std) truncated to [a, b] (pre-scale units)."""
-
-    def init(key, shape, dtype=jnp.float32):
-        # jax.random.truncated_normal samples standard normal truncated
-        # to [lower, upper], then we scale+shift.
-        lower = (a - mean) / std
-        upper = (b - mean) / std
-        return jax.random.truncated_normal(key, lower, upper, shape, dtype) * std + mean
-
-    return init
 
 
 class Conv(nn.Module):

@@ -108,8 +108,15 @@ class LocalMixer(nn.Module):
                           (3 * c,), jnp.float32)
 
         xw = window_partition(x, self.win_size)  # [N, seq, c]
-        fused = (jax.default_backend() == "tpu"
-                 if self.use_fused is None else self.use_fused)
+        if self.use_fused is None:
+            # opt-in until the Pallas path is profiled faster than XLA's
+            # fusion on the target chip (see ops/window_attention.py)
+            import os
+
+            fused = (os.environ.get("LGTEUN_FUSED_ATTENTION") == "1"
+                     and jax.default_backend() == "tpu")
+        else:
+            fused = self.use_fused
         if fused:
             out = fused_window_attention(xw, wqkv, bqkv, pos,
                                          heads=heads, scale=scale)
