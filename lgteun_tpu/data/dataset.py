@@ -35,9 +35,23 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from lgteun_tpu.data.tiff import read_tiff
+from lgteun_tpu.data.tiff import read_tiff as _read_tiff_py
 
 __all__ = ["PSDataset", "scan_pairs"]
+
+
+def read_tiff(path: str):
+    """Native C++ decode when available (lgteun_tpu/native), pure-Python
+    codec otherwise."""
+    try:
+        from lgteun_tpu.native import read_tiff_native
+
+        arr = read_tiff_native(path)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
+    return _read_tiff_py(path)
 
 
 def scan_pairs(image_dirs: list[str]) -> list[tuple[str, str]]:
