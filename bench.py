@@ -12,11 +12,19 @@ The >=10x target therefore sits at vs_baseline >= 10.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/lgteun_jax"))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_SECONDS_PER_IMG = 0.0133  # RTX 3090, WV-3, paper Table 4
 IMG_PIXELS = 128 * 128

@@ -1,0 +1,49 @@
+"""Spatial ("2-D context parallel") sharding for full-resolution scenes.
+
+The reference evaluates 128x128 tiles one at a time on one GPU; nothing
+is sharded (SURVEY.md §5 long-context row). For genuinely large scenes
+(satellite strips are tens of thousands of pixels on a side) this
+module shards the image *height* across a mesh axis — the 2-D analog of
+sequence/context parallelism:
+
+- inputs are placed with PartitionSpec (batch=None, H='space', ...)
+- the model function is jitted under the mesh; XLA GSPMD partitions
+  convolutions with automatic halo exchange over ICI and inserts
+  collectives for any global reductions (FFT mixers, global stats)
+
+This goes beyond reference capability and composes with batch
+('data') sharding: mesh {'data': d, 'space': s}.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["spatial_sharding", "run_spatially_sharded"]
+
+
+def spatial_sharding(mesh: Mesh, batch_axis: str | None = None,
+                     space_axis: str = "space") -> NamedSharding:
+    """NHWC sharding: batch over `batch_axis` (optional), H over
+    `space_axis`."""
+    return NamedSharding(mesh, P(batch_axis, space_axis))
+
+
+def run_spatially_sharded(fn, batch: dict, mesh: Mesh,
+                          batch_axis: str | None = None,
+                          space_axis: str = "space") -> jax.Array:
+    """Place every image in `batch` with H sharded over the mesh's
+    space axis, run jitted `fn(batch)`, return its (sharded) output.
+
+    `fn` must be shape-polymorphic over nothing — same contract as any
+    jitted model forward. Halo exchange for convs/windows is XLA's job.
+    """
+    sharded = {}
+    sh = spatial_sharding(mesh, batch_axis, space_axis)
+    for k, v in batch.items():
+        if k == "image_id":
+            sharded[k] = v
+        else:
+            sharded[k] = jax.device_put(v, sh)
+    return jax.jit(fn)(sharded)
