@@ -78,6 +78,7 @@ def main(cfg: Config, logger: logging.Logger) -> Runner:
         runner.train()
         runner.save(cfg.max_iter)
     runner.test(iter_id=cfg.max_iter, save=True, ref=True)
+    runner.log_eval_curves()
     return runner
 
 

@@ -315,6 +315,21 @@ class Runner:
                     0, 65535).astype(np.uint16)
                 write_tiff(os.path.join(out_dir, f"{image_id}_mul_hat.tif"), arr)
 
+    def log_eval_curves(self):
+        """Log + persist the accumulated metric curves (reference
+        base_model.py:348-351 dumps them at the final iteration)."""
+        import json
+
+        for key, curve in self.eval_results.items():
+            pts = ", ".join(f"{it}:{m:.4f}" for it, m, _ in curve)
+            self.logger.info(f"eval curve {key}: {pts}")
+        out = os.path.join(self.cfg.work_dir, self.cfg.datas,
+                           "eval_curves.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(self.eval_results, f, indent=1)
+        return out
+
     # ------------------------------------------------------ checkpoints
 
     def _ckpt_dir(self) -> str:
