@@ -43,30 +43,33 @@ def main():
     pan = jnp.asarray(rng.uniform(0, 1, (batch, 128, 128, 1)), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), ms[:1], pan[:1])
 
-    # Honest timing on a tunneled TPU backend where block_until_ready
-    # is unreliable: issue N chained dispatches (each forward's output
-    # perturbs the next input, forcing sequential execution), end with
-    # one scalar readback that synchronises everything, and take the
-    # difference between an N2-iteration and an N1-iteration run so the
-    # fixed tunnel/readback latency cancels.
+    # Honest timing on a tunneled TPU backend: per-dispatch round-trip
+    # latency is large, so the iteration loop runs ON DEVICE via a
+    # dynamic-bound fori_loop (one executable, one dispatch per
+    # measurement), each iteration's output perturbing the next input so
+    # execution is sequential; a scalar readback synchronises. Taking
+    # the difference between an n2- and an n1-iteration call cancels
+    # dispatch + readback latency exactly.
     @jax.jit
-    def step(p, ms_, pan_):
-        out = model.apply(p, ms_, pan_)
-        return ms_ + 1e-12 * jnp.mean(out), jnp.mean(out)
+    def chained(p, ms_, pan_, n):
+        def body(_, carry):
+            ms_c, acc = carry
+            out = model.apply(p, ms_c, pan_)
+            return ms_c + 1e-12 * jnp.mean(out), acc + jnp.mean(out)
+
+        _, acc = jax.lax.fori_loop(0, n, body, (ms_, jnp.float32(0)))
+        return acc
 
     def run(n):
-        m = ms
         t0 = time.perf_counter()
-        for _ in range(n):
-            m, acc = step(params, m, pan)
-        float(acc)  # sync
+        float(chained(params, ms, pan, n))
         return time.perf_counter() - t0
 
-    run(2)  # compile + warmup
-    n1, n2 = 5, 5 + n_iters
-    t1 = min(run(n1) for _ in range(2))
-    t2 = min(run(n2) for _ in range(2))
-    dt = max(t2 - t1, 1e-9) / (n2 - n1)  # per-forward, fixed costs cancelled
+    run(1)  # compile + warmup
+    n1, n2 = 2, 2 + n_iters
+    t1 = min(run(n1) for _ in range(3))
+    t2 = min(run(n2) for _ in range(3))
+    dt = max(t2 - t1, 1e-9) / (n2 - n1)  # per-forward
 
     imgs_per_sec = batch / dt
     mps = imgs_per_sec * IMG_PIXELS / 1e6

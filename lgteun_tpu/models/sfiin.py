@@ -23,16 +23,16 @@ from lgteun_tpu.models.base import FlaxMethod
 from lgteun_tpu.models.common.inv_blocks import InvBlock
 from lgteun_tpu.models.common.layers import Conv
 from lgteun_tpu.models.common.refine import Refine
+from lgteun_tpu.ops.fft import irfft2_pair, rfft2_pair
 from lgteun_tpu.ops.resize import resize_bicubic
 from lgteun_tpu.registry import MODELS
 
 __all__ = ["SFIINNet", "SFIIN"]
 
 
-def _safe_amp_pha(fre):
-    """Forward-exact amp/phase with NaN-free grads at zero bins (same
-    pattern as lgt.GlobalMixer)."""
-    re, im = jnp.real(fre), jnp.imag(fre)
+def _safe_amp_pha(re, im):
+    """Forward-exact amp/phase of a (re, im) spectrum pair with
+    NaN-free grads at zero bins (same pattern as lgt.GlobalMixer)."""
     zero = (re == 0.0) & (im == 0.0)
     re_s = jnp.where(zero, 1.0, re)
     im_s = jnp.where(zero, 0.0, im)
@@ -52,10 +52,10 @@ class FreProcess(nn.Module):
         h, w = msf.shape[-3], msf.shape[-2]
         ms_in = Conv(self.channels, (1, 1), name="pre1")(msf) + 1e-8
         pan_in = Conv(self.channels, (1, 1), name="pre2")(panf) + 1e-8
-        ms_f = jnp.fft.rfft2(ms_in, axes=(-3, -2), norm="backward")
-        pan_f = jnp.fft.rfft2(pan_in, axes=(-3, -2), norm="backward")
-        ms_amp, ms_pha = _safe_amp_pha(ms_f)
-        pan_amp, pan_pha = _safe_amp_pha(pan_f)
+        ms_re, ms_im = rfft2_pair(ms_in, axes=(-3, -2), norm="backward")
+        pan_re, pan_im = rfft2_pair(pan_in, axes=(-3, -2), norm="backward")
+        ms_amp, ms_pha = _safe_amp_pha(ms_re, ms_im)
+        pan_amp, pan_pha = _safe_amp_pha(pan_re, pan_im)
 
         def fuse(x, name):
             y = Conv(self.channels, (1, 1), name=f"{name}0")(x)
@@ -64,11 +64,11 @@ class FreProcess(nn.Module):
 
         amp = fuse(jnp.concatenate([ms_amp, pan_amp], -1), "amp_fuse")
         pha = fuse(jnp.concatenate([ms_pha, pan_pha], -1), "pha_fuse")
-        real = amp * jnp.cos(pha) + 1e-8
+        # reference's complex +1e-8 adds to the real part only
+        real = amp * jnp.cos(pha) + 1e-8 + 1e-8
         imag = amp * jnp.sin(pha) + 1e-8
-        out = jax.lax.complex(real, imag) + (1e-8 + 0j)
-        out = jnp.abs(jnp.fft.irfft2(out, s=(h, w), axes=(-3, -2),
-                                     norm="backward"))
+        out = jnp.abs(irfft2_pair(real, imag, s=(h, w), axes=(-3, -2),
+                                  norm="backward"))
         return Conv(self.channels, (1, 1), name="post")(out)
 
 
@@ -139,10 +139,10 @@ class SFIIN(FlaxMethod):
         weights = build_loss_weights(self.cfg.loss_cfg)
         need_freq = any("fre_" in n for n in weights)
         if need_freq:
-            out_f = jnp.fft.rfft2(out, axes=(-3, -2), norm="backward")
-            tgt_f = jnp.fft.rfft2(target, axes=(-3, -2), norm="backward")
-            out_amp, out_pha = _safe_amp_pha(out_f)
-            tgt_amp, tgt_pha = _safe_amp_pha(tgt_f)
+            out_re, out_im = rfft2_pair(out, axes=(-3, -2), norm="backward")
+            tgt_re, tgt_im = rfft2_pair(target, axes=(-3, -2), norm="backward")
+            out_amp, out_pha = _safe_amp_pha(out_re, out_im)
+            tgt_amp, tgt_pha = _safe_amp_pha(tgt_re, tgt_im)
         for name, lcfg in weights.items():
             if name == "rec_loss":
                 value = reconstruction_loss(out, target, lcfg.type)

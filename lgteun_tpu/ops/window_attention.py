@@ -79,6 +79,87 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, pos_ref, out_ref, *, heads, seq,
     out_ref[:] = out.reshape(wpb * seq, c).astype(out_ref.dtype)
 
 
+def _kernel_v2(x_ref, wqkv_ref, bqkv_ref, pos_ref, out_ref, *, heads, seq,
+               wpb, scale):
+    """Transposed 3-D layout: every tile keeps `seq` on the lane axis so
+    the VPU/MXU lanes stay filled despite tiny channel counts, and
+    windows batch on the major axis. No lane-splitting reshapes (Mosaic
+    rejects those).
+
+    x_ref: [wpb, C, S]; wqkv_ref: [wpb, 3C, C] (pre-broadcast);
+    bqkv_ref: [3C, 1]; pos_ref: [heads, S, S]; out_ref: [wpb, C, S].
+    """
+    c = x_ref.shape[1]
+    hd = c // heads
+    # qkv[w, f, s] = sum_c W[f, c] x[w, c, s] — batched over windows
+    qkv = jax.lax.dot_general(
+        wqkv_ref[:], x_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [wpb, 3C, S]
+    qkv = qkv + bqkv_ref[:][None]
+
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd, :]              # [W, hd, S]
+        k = qkv[:, c + h * hd:c + (h + 1) * hd, :]
+        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd, :]
+        # sim[w, i, j] = sum_d q[w, d, i] k[w, d, j] — lanes = S
+        sim = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [W, S, S]
+        sim = sim + pos_ref[h][None]
+        sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        # out[w, d, i] = sum_j v[w, d, j] attn[w, i, j]
+        out_h = jax.lax.dot_general(
+            v, attn,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [W, hd, S]
+        outs.append(out_h)
+    out = jnp.concatenate(outs, axis=1)  # [W, C, S]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def fused_window_attention_v2(xw, wqkv, bqkv, pos, *, heads: int,
+                              scale: float, interpret: bool = False):
+    """Transposed-layout fused window attention; same contract as
+    `fused_window_attention`."""
+    n, s, c = xw.shape
+    wpb = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0:
+            wpb = cand
+            break
+
+    xt = xw.transpose(0, 2, 1)  # [N, C, S]
+    w_b = jnp.broadcast_to(wqkv.T[None], (wpb, 3 * c, c))
+
+    kernel = functools.partial(_kernel_v2, heads=heads, seq=s, wpb=wpb,
+                               scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, c, s), xw.dtype),
+        grid=(n // wpb,),
+        in_specs=[
+            pl.BlockSpec((wpb, c, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpb, 3 * c, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, s, s), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wpb, c, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xt, w_b, bqkv.reshape(3 * c, 1), pos)
+    return out.transpose(0, 2, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
 def fused_window_attention(xw, wqkv, bqkv, pos, *, heads: int,
                            scale: float, interpret: bool = False):
