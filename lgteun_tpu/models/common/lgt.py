@@ -192,6 +192,51 @@ class FeedForward(nn.Module):
         return PointConv(c)(y)
 
 
+class LNFFNBlock(nn.Module):
+    """x + FFN(LN(x)) holding raw parameters so the TPU path can run the
+    fused Pallas kernel (ops/ffn_kernel.py); other backends use the
+    identical-math XLA expression. torch-default inits throughout."""
+
+    ratio: int = 4
+    use_fused: bool | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from lgteun_tpu.models.common.layers import (
+            torch_conv_bias_init,
+            torch_conv_kernel_init,
+        )
+        from lgteun_tpu.ops.ffn_kernel import fused_ln_ffn, ln_ffn_xla
+
+        c = x.shape[-1]
+        c4 = c * self.ratio
+        params = {
+            "ln_gamma": self.param("ln_gamma", nn.initializers.ones, (c,),
+                                   jnp.float32),
+            "ln_beta": self.param("ln_beta", nn.initializers.zeros, (c,),
+                                  jnp.float32),
+            "w1": self.param("w1", torch_conv_kernel_init, (1, 1, c, c4))[0, 0],
+            "b1": self.param("b1", torch_conv_bias_init(c), (c4,), jnp.float32),
+            "w2": self.param("w2", torch_conv_kernel_init, (1, 1, c4, c4))[0, 0],
+            "b2": self.param("b2", torch_conv_bias_init(c4), (c4,), jnp.float32),
+            "dw": self.param("dw", torch_conv_kernel_init, (3, 3, 1, c4))[:, :, 0],
+            "bdw": self.param("bdw", torch_conv_bias_init(9), (c4,), jnp.float32),
+            "w3": self.param("w3", torch_conv_kernel_init, (1, 1, c4, c))[0, 0],
+            "b3": self.param("b3", torch_conv_bias_init(c4), (c,), jnp.float32),
+        }
+        if self.use_fused is None:
+            import os
+
+            fused = (os.environ.get("LGTEUN_FUSED_FFN", "1") == "1"
+                     and jax.default_backend() == "tpu"
+                     and x.shape[-2] % 128 == 0)
+        else:
+            fused = self.use_fused
+        if fused:
+            return fused_ln_ffn(x, params)
+        return ln_ffn_xla(x, params)
+
+
 class LGB(nn.Module):
     """num_blocks x [x += mixer(LN(x)); x += ffn(LN(x))]
     (reference LGT.py:222-248)."""
@@ -206,8 +251,7 @@ class LGB(nn.Module):
             y = nn.LayerNorm(epsilon=1e-5, name=f"norm_mix_{i}")(x)
             x = x + LGMixer(self.win_size, self.num_heads, name=f"mixer_{i}")(
                 y, deterministic=deterministic)
-            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_ffn_{i}")(x)
-            x = x + FeedForward(name=f"ffn_{i}")(y)
+            x = LNFFNBlock(name=f"ffn_{i}")(x)
         return x
 
 

@@ -1,0 +1,179 @@
+"""Fused LGB feed-forward block (Pallas TPU kernel).
+
+LGTEUN's LGB applies `x + FFN(LN(x))` with FFN = point(C->4C) -> GELU
+-> point(4C->4C) -> depthwise3x3 -> GELU -> point(4C->C) (reference:
+models/common/LGT.py:91-109, 222-248). The XLA version materialises
+~3.5 GB of HBM traffic per full-resolution block at LGTEUN's shapes —
+the model is bandwidth bound — so this kernel runs the whole chain in
+one VMEM pass (~0.27 GB of traffic).
+
+Layout: everything is 2-D [C, rows*W] with channels on the sublane axis
+and flattened pixels on lanes:
+
+- channel contractions are clean [F, C] @ [C, N] MXU matmuls with
+  N = (tile_rows+2)*W lanes
+- the depthwise 3x3 becomes 9 shifted multiply-adds where H-shifts are
+  W-aligned lane slices (W = 128 keeps them tile-aligned) and W-shifts
+  are lane rolls with row-boundary masks
+- halo rows ride in as two extra W-lane blocks of the H-padded input
+
+Validated against the XLA path in tests/test_ffn_kernel.py, including
+image-edge zero-padding semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_ln_ffn", "ln_ffn_xla"]
+
+
+def ln_ffn_xla(x, params, eps=1e-5):
+    """Reference XLA implementation of out = x + FFN(LN(x)).
+
+    params: dict with ln_gamma [C], ln_beta [C], w1 [C,4C], b1 [4C],
+    w2 [4C,4C], b2 [4C], dw [3,3,4C], bdw [4C], w3 [4C,C], b3 [C].
+    """
+    params = jax.tree.map(lambda p: p.astype(x.dtype), params)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mu) / jnp.sqrt(var + eps) * params["ln_gamma"] + params["ln_beta"]
+    h = jnp.einsum("...c,cd->...d", y, params["w1"]) + params["b1"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.einsum("...c,cd->...d", h, params["w2"]) + params["b2"]
+    c4 = h.shape[-1]
+    kernel = params["dw"].reshape(3, 3, 1, c4)
+    h = jax.lax.conv_general_dilated(
+        h, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c4) + params["bdw"]
+    h = jax.nn.gelu(h, approximate=False)
+    out = jnp.einsum("...c,cd->...d", h, params["w3"]) + params["b3"]
+    return x + out
+
+
+def _gelu_exact(x):
+    """0.5 x (1 + erf(x/sqrt2)) with an Abramowitz-Stegun 7.1.26 erf
+    (|err| < 1.5e-7 == f32 rounding); Mosaic has no erf/erfc primitive."""
+    z = x * 0.7071067811865476
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _kernel(x_body, x_top, x_bot, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
+            w3t, b3, out_ref, *, th, w, c, c4, h_img, eps):
+    ti = pl.program_id(1)
+    n_all = (th + 2) * w
+
+    x = jnp.concatenate([x_top[0], x_body[0], x_bot[0]], axis=1)
+    # [c, (th+2)*w]
+
+    mu = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=0, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    y = y * ln_g[:] + ln_b[:]  # [c,1] blocks broadcast over lanes
+
+    def mm(wt, t, bias):
+        out = jax.lax.dot_general(
+            wt, t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out + bias[:]
+
+    h1 = _gelu_exact(mm(w1t[:], y, b1))   # [c4, (th+2)w]
+    h2 = mm(w2t[:], h1, b2)               # [c4, (th+2)w]
+
+    # zero-mask halo rows outside the image (torch zero padding)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_all), 1)
+    grow = lane_ids // w + ti * th - 1    # global image row per lane
+    h2 = jnp.where((grow >= 0) & (grow < h_img), h2, 0.0)
+
+    # depthwise 3x3: H-shifts are W-aligned lane slices; W-shifts are
+    # lane rolls with row-boundary masks
+    col = lane_ids[:, : th * w] % w
+    acc = jnp.zeros((c4, th * w), jnp.float32)
+    for dr in range(3):
+        row_slice = h2[:, dr * w: dr * w + th * w]
+        for dc in range(3):
+            if dc == 0:
+                shifted = jnp.where(col == 0, 0.0,
+                                    pltpu.roll(row_slice, 1, 1))
+            elif dc == 2:
+                shifted = jnp.where(col == w - 1, 0.0,
+                                    pltpu.roll(row_slice, th * w - 1, 1))
+            else:
+                shifted = row_slice
+            acc = acc + shifted * dw[:, 3 * dr + dc][:, None]
+    acc = _gelu_exact(acc + bdw[:])
+
+    out = mm(w3t[:], acc, b3)  # [c, th*w]
+    out_ref[0] = (out + x[:, w: w + th * w]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
+def fused_ln_ffn(x, params, *, eps: float = 1e-5, tile_rows: int = 16,
+                 interpret: bool = False):
+    """out = x + FFN(LN(x)) on NHWC [B, H, W, C]."""
+    b, h, w, c = x.shape
+    c4 = params["w1"].shape[-1]
+    th = tile_rows
+    while h % th:
+        th //= 2
+
+    # channel-major [B, C, H*W] (+1 zero row top/bottom in the padded
+    # copy used for halos); pixels ride on the lane axis
+    xc = jnp.moveaxis(x, -1, 1).reshape(b, c, h * w)
+    xp = jnp.pad(xc, [(0, 0), (0, 0), (w, w)])
+
+    kernel = functools.partial(_kernel, th=th, w=w, c=c, c4=c4, h_img=h,
+                               eps=eps)
+    col = lambda p: p.reshape(-1, 1)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), x.dtype),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, c, th * w), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),  # body pixels
+            pl.BlockSpec((1, c, w), lambda bi, ti: (bi, 0, ti * th),
+                         memory_space=pltpu.VMEM),  # top halo row
+            pl.BlockSpec((1, c, w), lambda bi, ti: (bi, 0, ti * th + th + 1),
+                         memory_space=pltpu.VMEM),  # bottom halo row
+            pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # ln_gamma
+            pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # ln_beta
+            pl.BlockSpec((c4, c), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # w1^T
+            pl.BlockSpec((c4, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec((c4, c4), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # w2^T
+            pl.BlockSpec((c4, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # b2
+            pl.BlockSpec((c4, 9), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # dw [c4, 9]
+            pl.BlockSpec((c4, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # bdw
+            pl.BlockSpec((c, c4), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # w3^T
+            pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),  # b3
+        ],
+        out_specs=pl.BlockSpec((1, c, th * w), lambda bi, ti: (bi, 0, ti),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xc, xp, xp, col(params["ln_gamma"]), col(params["ln_beta"]),
+      params["w1"].T, col(params["b1"]), params["w2"].T, col(params["b2"]),
+      params["dw"].reshape(9, c4).T, col(params["bdw"]),
+      params["w3"].T, col(params["b3"]))
+    return jnp.moveaxis(out.reshape(b, c, h, w), 1, -1)
