@@ -34,7 +34,7 @@ REF_MPS = IMG_PIXELS / REF_SECONDS_PER_IMG / 1e6
 def main():
     from lgteun_tpu.models.lgteun import LGTEUN
 
-    batch = 64
+    batch = 96
     c = 8
     n_iters = 10
     model = LGTEUN(ms_chans=c, stage=2)
