@@ -118,8 +118,7 @@ class LocalMixer(nn.Module):
         else:
             fused = self.use_fused
         if fused:
-            out = fused_window_attention_v2(xw, wqkv, bqkv, pos,
-                                            heads=heads, scale=scale)
+            out = fused_window_attention_v2(xw, wqkv, bqkv, pos, heads, scale)
         else:
             out = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)
         return window_unpartition(out, self.win_size, (h, w), b)

@@ -119,10 +119,30 @@ def _kernel(x_body, x_top, x_bot, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
     out_ref[0] = (out + x[:, w: w + th * w]).astype(out_ref.dtype)
 
 
+@jax.custom_vjp
+def fused_ln_ffn(x, params):
+    """out = x + FFN(LN(x)) on NHWC [B, H, W, C] (differentiable:
+    Pallas forward, XLA backward via recompute)."""
+    return _fused_ln_ffn_impl(x, params)
+
+
+def _fused_ln_ffn_fwd(x, params):
+    return _fused_ln_ffn_impl(x, params), (x, params)
+
+
+def _fused_ln_ffn_bwd(res, g):
+    x, params = res
+    _, vjp = jax.vjp(ln_ffn_xla, x, params)
+    return vjp(g)
+
+
+fused_ln_ffn.defvjp(_fused_ln_ffn_fwd, _fused_ln_ffn_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
-def fused_ln_ffn(x, params, *, eps: float = 1e-5, tile_rows: int = 16,
-                 interpret: bool = False):
-    """out = x + FFN(LN(x)) on NHWC [B, H, W, C]."""
+def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 16,
+                       interpret: bool = False):
+    """Kernel invocation (non-differentiable inner)."""
     b, h, w, c = x.shape
     c4 = params["w1"].shape[-1]
     th = tile_rows
@@ -171,7 +191,7 @@ def fused_ln_ffn(x, params, *, eps: float = 1e-5, tile_rows: int = 16,
         ],
         out_specs=pl.BlockSpec((1, c, th * w), lambda bi, ti: (bi, 0, ti),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() != "tpu",
     )(xc, xp, xp, col(params["ln_gamma"]), col(params["ln_beta"]),
       params["w1"].T, col(params["b1"]), params["w2"].T, col(params["b2"]),
       params["dw"].reshape(9, c4).T, col(params["bdw"]),

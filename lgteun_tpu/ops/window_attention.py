@@ -122,11 +122,34 @@ def _kernel_v2(x_ref, wqkv_ref, bqkv_ref, pos_ref, out_ref, *, heads, seq,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
-def fused_window_attention_v2(xw, wqkv, bqkv, pos, *, heads: int,
-                              scale: float, interpret: bool = False):
-    """Transposed-layout fused window attention; same contract as
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_window_attention_v2(xw, wqkv, bqkv, pos, heads: int, scale: float):
+    """Transposed-layout fused window attention (differentiable: Pallas
+    forward, XLA backward via recompute); same contract as
     `fused_window_attention`."""
+    return _fused_v2_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale)
+
+
+def _fused_v2_fwd(xw, wqkv, bqkv, pos, heads, scale):
+    return (_fused_v2_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale),
+            (xw, wqkv, bqkv, pos))
+
+
+def _fused_v2_bwd(heads, scale, res, g):
+    xw, wqkv, bqkv, pos = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: window_attention_xla(a, b, c, d, heads, scale),
+        xw, wqkv, bqkv, pos)
+    return vjp(g)
+
+
+fused_window_attention_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _fused_v2_impl(xw, wqkv, bqkv, pos, *, heads: int,
+                   scale: float, interpret: bool = False):
+    """Kernel invocation (non-differentiable inner)."""
     n, s, c = xw.shape
     wpb = 1
     for cand in (8, 4, 2):
@@ -155,7 +178,7 @@ def fused_window_attention_v2(xw, wqkv, bqkv, pos, *, heads: int,
         ],
         out_specs=pl.BlockSpec((wpb, c, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() != "tpu",
     )(xt, w_b, bqkv.reshape(3 * c, 1), pos)
     return out.transpose(0, 2, 1)
 
@@ -193,6 +216,6 @@ def fused_window_attention(xw, wqkv, bqkv, pos, *, heads: int,
         ],
         out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=interpret or jax.default_backend() != "tpu",
     )(xw.reshape(n * s, c), wqkv, bqkv.reshape(1, 3 * c), pos)
     return out.reshape(n, s, c)
