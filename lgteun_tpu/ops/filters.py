@@ -108,3 +108,40 @@ def box_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
     cv2.filter2D border semantics."""
     kernel = np.ones((size, size), dtype=np.float64) / (size * size)
     return filter2d_reflect101(x, kernel)
+
+
+def get_lp(x: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
+    """Low-frequency part: 5x5 average filter with zero 'SAME' padding
+    (torch F.avg_pool2d(k=5, s=1, p=2) semantics — zero-padded borders
+    divide by the full k*k; reference models/base/utils.py:70-80).
+    NHWC."""
+    kernel = np.full((ksize, ksize), 1.0 / (ksize * ksize))
+    return depthwise_conv2d(
+        jnp.pad(x, [(0, 0)] * (x.ndim - 3)
+                + [(ksize // 2, ksize // 2)] * 2 + [(0, 0)]),
+        jnp.asarray(kernel, x.dtype), padding="VALID")
+
+
+def get_hp(x: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
+    """High-frequency part: x - avg_filter(x) (reference
+    models/base/utils.py:83-95)."""
+    return x - get_lp(x, ksize)
+
+
+def channel_pooling(x: jnp.ndarray, mode: str = "avg") -> jnp.ndarray:
+    """Channel-dim avg/max pooling to 1 channel (reference
+    models/base/utils.py:141-156). NHWC."""
+    if mode == "avg":
+        return jnp.mean(x, axis=-1, keepdims=True)
+    if mode == "max":
+        return jnp.max(x, axis=-1, keepdims=True)
+    raise ValueError(f"no such pooling mode {mode!r}")
+
+
+def calc_img_grad(x: jnp.ndarray) -> jnp.ndarray:
+    """Mean absolute row/column forward differences (reference
+    models/base/utils.py:159-168). NHWC in/out, spatial dims shrink
+    by 1."""
+    d_row = jnp.abs(x[..., :-1, :-1, :] - x[..., 1:, :-1, :])
+    d_col = jnp.abs(x[..., :-1, :-1, :] - x[..., :-1, 1:, :])
+    return (d_row + d_col) / 2.0

@@ -58,3 +58,30 @@ def test_pyr_down_matches_definition(rng):
     want = blurred[::2, ::2]
     np.testing.assert_allclose(got, want, atol=1e-6)
     assert got.shape == (16, 16)
+
+
+def test_get_lp_hp_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+    from lgteun_tpu.ops.filters import get_hp, get_lp
+
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float64)
+    t = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    want_lp = np.moveaxis(F.avg_pool2d(t, 5, stride=1, padding=2).numpy(), 1, -1)
+    got_lp = np.asarray(get_lp(x))
+    np.testing.assert_allclose(got_lp, want_lp, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(get_hp(x)), x - want_lp, atol=1e-10)
+
+
+def test_channel_pooling_and_grad(rng):
+    from lgteun_tpu.ops.filters import calc_img_grad, channel_pooling
+
+    x = rng.standard_normal((2, 8, 8, 4))
+    np.testing.assert_allclose(np.asarray(channel_pooling(x, "avg")),
+                               x.mean(-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(channel_pooling(x, "max")),
+                               x.max(-1, keepdims=True))
+    g = np.asarray(calc_img_grad(x))
+    want = (np.abs(x[:, :-1, :-1] - x[:, 1:, :-1])
+            + np.abs(x[:, :-1, :-1] - x[:, :-1, 1:])) / 2
+    np.testing.assert_allclose(g, want)
