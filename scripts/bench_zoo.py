@@ -1,0 +1,97 @@
+"""Per-method inference throughput on one TPU chip.
+
+Usage: python scripts/bench_zoo.py [--batch 32] [--ms-chans 4]
+
+Times every registered method (classical + DL) with the dispatch-proof
+on-device loop harness and prints a table plus the paper's RTX-3090
+per-image times for reference (paper Table 4, GF-2 column for C=4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/lgteun_jax"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+# paper Table 4 Time(s/img), GF-2 (C=4) column
+REF_S_PER_IMG = {
+    "GSA": 0.0216, "SFIM": 0.0301, "Wavelet": 0.0271,
+    "PanFormer": 0.0257, "INNT": 0.0431, "lightnet": 0.0017,
+    "SFIIN": 0.0528, "MutInf": 0.1141, "MDCUN": 0.1017,
+    "UnlgFormer": 0.0129,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--ms-chans", type=int, default=4)
+    args = ap.parse_args()
+    b, c = args.batch, args.ms_chans
+
+    import lgteun_tpu.models
+    from lgteun_tpu.config import Config, LossCfg
+    from lgteun_tpu.registry import MODELS, build_model
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_lr": jnp.asarray(rng.uniform(0, 1, (b, 32, 32, c)).astype(np.float32)),
+        "input_pan": jnp.asarray(rng.uniform(0, 1, (b, 128, 128, 1)).astype(np.float32)),
+    }
+
+    print(f"batch {b}, {c}-band, 32->128 fusion; one chip")
+    print(f"{'method':12s} {'ms/img':>8s} {'MP/s':>8s} {'vs 3090':>8s}")
+    for name in MODELS.keys():
+        try:
+            cfg = Config(model_type=name, ms_chans=c,
+                         loss_cfg={"rec_loss": LossCfg()},
+                         model_cfg={"core_module": {"stage": 2}
+                                    if name == "UnlgFormer" else {}})
+            m = build_model(name, cfg)
+            params = m.init_params(jax.random.PRNGKey(0), (32, 128))
+
+            @jax.jit
+            def chained(n, lr, pan):
+                def body(_, carry):
+                    lr_c, acc = carry
+                    out = m.apply(params, {"input_lr": lr_c,
+                                           "input_pan": pan})
+                    return lr_c + 1e-12 * jnp.mean(out), acc + jnp.mean(out)
+
+                _, acc = jax.lax.fori_loop(
+                    0, n, body, (lr, jnp.float32(0)))
+                return acc
+
+            def run(k):
+                t0 = time.perf_counter()
+                float(chained(k, batch["input_lr"], batch["input_pan"]))
+                return time.perf_counter() - t0
+
+            run(1)
+            t1 = min(run(2) for _ in range(2))
+            t2 = min(run(8) for _ in range(2))
+            dt = (t2 - t1) / 6 / b  # seconds per image
+            mps = 16384 / dt / 1e6
+            ref = REF_S_PER_IMG.get(name)
+            speedup = f"{ref / dt:7.1f}x" if ref else "      —"
+            print(f"{name:12s} {dt * 1000:8.3f} {mps:8.2f} {speedup}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:12s} FAIL {str(e)[:80]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

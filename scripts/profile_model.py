@@ -13,6 +13,9 @@ from __future__ import annotations
 import argparse
 import os
 import time
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/lgteun_jax"))
