@@ -126,13 +126,33 @@ class LocalMixer(nn.Module):
 
 class GlobalMixer(nn.Module):
     """FFT amplitude/phase mixer half of LGMixer (reference
-    LGT.py:149-180), epsilons included."""
+    LGT.py:149-180), epsilons included.
+
+    The reference's `dep_conv(kernel_size=1)` on amplitude and phase is
+    mathematically a per-channel scale + bias; holding it as raw
+    parameters (same init distribution as a torch 1x1 depthwise conv)
+    lets XLA fuse the entire spectral elementwise chain between the two
+    DFT matmuls instead of lowering two convolutions."""
 
     @nn.compact
     def __call__(self, x):
+        from lgteun_tpu.models.common.layers import (
+            torch_conv_bias_init,
+            torch_conv_kernel_init,
+        )
         from lgteun_tpu.ops.fft import irfft2_pair, rfft2_pair
 
         h, w = x.shape[-3], x.shape[-2]
+        c = x.shape[-1]
+        amp_w = self.param("amp_scale", torch_conv_kernel_init,
+                           (1, 1, 1, c))[0, 0, 0]
+        amp_b = self.param("amp_bias", torch_conv_bias_init(1), (c,),
+                           jnp.float32)
+        pha_w = self.param("pha_scale", torch_conv_kernel_init,
+                           (1, 1, 1, c))[0, 0, 0]
+        pha_b = self.param("pha_bias", torch_conv_bias_init(1), (c,),
+                           jnp.float32)
+
         # real-pair FFT: complex dtypes are unavailable on some TPU
         # runtimes; all spectral math below is real arithmetic
         re, im = rfft2_pair(x, axes=(-3, -2), norm="backward")
@@ -145,8 +165,8 @@ class GlobalMixer(nn.Module):
         im_safe = jnp.where(zero, 0.0, im)
         amp = jnp.where(zero, 0.0, jnp.sqrt(re_safe**2 + im_safe**2))
         pha = jnp.where(zero, 0.0, jnp.arctan2(im_safe, re_safe))
-        amp = DepConv(kernel_size=1, name="conv_amp")(amp)
-        pha = DepConv(kernel_size=1, name="conv_pha")(pha)
+        amp = amp * amp_w + amp_b
+        pha = pha * pha_w + pha_b
         # the reference's complex +1e-8 adds to the real part only
         # (reference LGT.py:174-177)
         real = amp * jnp.cos(pha) + 1e-8 + 1e-8
