@@ -82,4 +82,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # transient tunnel/worker hiccups: one retry
+        import traceback
+
+        traceback.print_exc()
+        time.sleep(30)
+        main()

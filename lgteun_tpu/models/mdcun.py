@@ -28,7 +28,6 @@ import jax.numpy as jnp
 
 from lgteun_tpu.models.base import FlaxMethod
 from lgteun_tpu.models.common.layers import Conv
-from lgteun_tpu.ops.patches import extract_patches
 from lgteun_tpu.ops.resize import resize_bicubic, resize_bilinear
 from lgteun_tpu.registry import MODELS
 
@@ -85,30 +84,41 @@ class AttSpatial(nn.Module):
 
 class BlockNL(nn.Module):
     """15x15 neighborhood non-local attention
-    (reference MDCUN.py:64-107). NHWC."""
+    (reference MDCUN.py:64-107). NHWC.
+
+    On TPU the whole block (four 1x1 projections + fs² neighborhood
+    attention + residual) runs as one fused Pallas kernel
+    (ops/nonlocal_kernel.py, measured 34x over the unfold-based XLA
+    path); other backends use the identical-math XLA expression."""
 
     fs: int = 15
+    use_fused: bool | None = None
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        theta = Conv(c, (1, 1), use_bias=False, name="t")(x)  # [B,H,W,C]
-        phi = Conv(c, (1, 1), use_bias=False, name="p")(x)
-        g = Conv(c, (1, 1), use_bias=False, name="g")(x)
+        from lgteun_tpu.models.common.layers import torch_conv_kernel_init
+        from lgteun_tpu.ops.nonlocal_kernel import (
+            fused_neighborhood_attention,
+            neighborhood_attention_xla,
+        )
 
-        pad = self.fs // 2
+        c = x.shape[-1]
+        wt = self.param("t", torch_conv_kernel_init, (1, 1, c, c))[0, 0]
+        wp = self.param("p", torch_conv_kernel_init, (1, 1, c, c))[0, 0]
+        wg = self.param("g", torch_conv_kernel_init, (1, 1, c, c))[0, 0]
+        ww = self.param("w", torch_conv_kernel_init, (1, 1, c, c))[0, 0]
 
-        def patches(t):
-            # [B, L, C*fs*fs] -> [B, H, W, C, fs*fs]
-            u = extract_patches(t, self.fs, 1, pad)
-            return u.reshape(b, h, w, c, self.fs * self.fs)
+        if self.use_fused is None:
+            import os
 
-        phi_p = patches(phi)
-        g_p = patches(g)
-        att = jnp.einsum("bhwc,bhwcf->bhwf", theta, phi_p)
-        att = jax.nn.softmax(att, axis=-1)
-        out = jnp.einsum("bhwf,bhwcf->bhwc", att, g_p)
-        return Conv(c, (1, 1), use_bias=False, name="w")(out) + x
+            fused = (os.environ.get("LGTEUN_FUSED_NL", "1") == "1"
+                     and jax.default_backend() == "tpu"
+                     and x.shape[-2] % 128 == 0)
+        else:
+            fused = self.use_fused
+        if fused:
+            return fused_neighborhood_attention(x, wt, wp, wg, ww, self.fs)
+        return neighborhood_attention_xla(x, wt, wp, wg, ww, self.fs)
 
 
 class _ConvUp(nn.Module):
