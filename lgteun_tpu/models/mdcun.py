@@ -182,13 +182,18 @@ class PanUnfolding(nn.Module):
 
         def denoise(feat):
             """Per-band (first 4) spatial attention + highpass injection
-            (reference MDCUN.py:369-388)."""
-            outs = []
-            for band in range(4):
-                gate = rm1(jnp.concatenate(
-                    [feat[..., band:band + 1], pan], axis=-1))
-                outs.append(pan_hp + gate * pan_hp)
-            decoded = jnp.concatenate(outs, axis=-1)
+            (reference MDCUN.py:369-388). The four per-band calls share
+            weights and are independent per sample, so they run as ONE
+            att_spatial call with bands folded into the batch axis —
+            identical math, 4x fewer op launches."""
+            b = feat.shape[0]
+            bands = jnp.concatenate(
+                [feat[..., band:band + 1] for band in range(4)], axis=0)
+            pan4 = jnp.tile(pan, (4, 1, 1, 1))
+            gates = rm1(jnp.concatenate([bands, pan4], axis=-1))  # [4B,H,W,1]
+            decoded = jnp.concatenate(
+                [pan_hp + gates[band * b:(band + 1) * b] * pan_hp
+                 for band in range(4)], axis=-1)
             if conv1x1 is not None:
                 decoded = conv1x1(decoded)
             return decoded
