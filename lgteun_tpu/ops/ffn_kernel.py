@@ -140,7 +140,7 @@ fused_ln_ffn.defvjp(_fused_ln_ffn_fwd, _fused_ln_ffn_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
-def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 16,
+def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 32,
                        interpret: bool = False):
     """Kernel invocation (non-differentiable inner)."""
     b, h, w, c = x.shape
