@@ -45,19 +45,31 @@ class TransformerFusion(nn.Module):
 
     @nn.compact
     def __call__(self, lrsr, ref):
+        import os
+
+        from lgteun_tpu.ops.patch_match_kernel import (
+            fused_patch_match,
+            patch_match_xla,
+        )
+
         n, h, w, c = lrsr.shape
         lr_unf = extract_patches(lrsr, 3, 1, 1)  # [N, L, C*9]
         ref_unf = extract_patches(ref, 3, 1, 1)  # [N, L, C*9]
 
         ref_n = ref_unf / (jnp.linalg.norm(ref_unf, axis=2, keepdims=True) + 1e-12)
         lr_n = lr_unf / (jnp.linalg.norm(lr_unf, axis=2, keepdims=True) + 1e-12)
-        # R[n, i, j] = <ref patch i, lr patch j>
-        r = jnp.einsum("nik,njk->nij", ref_n, lr_n)
-        r_star = jnp.max(r, axis=1)  # [N, L]
-        r_arg = jnp.argmax(r, axis=1)  # [N, L]
 
-        # transfer: gather best ref patch per lr position
-        t_unf = jnp.take_along_axis(ref_unf, r_arg[:, :, None], axis=1)
+        fused = (os.environ.get("LGTEUN_FUSED_PM", "1") == "1"
+                 and jax.default_backend() == "tpu")
+        if fused:
+            # fused kernel never materialises the [N, L, L] similarity
+            t_km, r_star = fused_patch_match(
+                lr_n, ref_n, ref_unf.transpose(0, 2, 1))
+            t_unf = t_km.transpose(0, 2, 1)
+        else:
+            t_km, r_star = patch_match_xla(
+                lr_n, ref_n, ref_unf.transpose(0, 2, 1))
+            t_unf = t_km.transpose(0, 2, 1)
         t = fold_patches(t_unf, (h, w), c, 3, 1, 1) / 9.0
         s = r_star.reshape(n, h, w, 1)
 

@@ -1,0 +1,51 @@
+"""Fused patch-correlation search vs the XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lgteun_tpu.ops.patch_match_kernel import (
+    _fused_pm_impl,
+    fused_patch_match,
+    patch_match_xla,
+)
+
+
+def _inputs(rng, n=4, ll=64, kk=36):
+    lr = rng.standard_normal((n, ll, kk)).astype(np.float32)
+    ref = rng.standard_normal((n, ll, kk)).astype(np.float32)
+    lr_n = lr / np.linalg.norm(lr, axis=2, keepdims=True)
+    ref_n = ref / np.linalg.norm(ref, axis=2, keepdims=True)
+    ref_u = rng.standard_normal((n, kk, ll)).astype(np.float32)
+    return jnp.asarray(lr_n), jnp.asarray(ref_n), jnp.asarray(ref_u)
+
+
+def test_fused_matches_xla(rng):
+    lr_n, ref_n, ref_u = _inputs(rng)
+    t_want, s_want = patch_match_xla(lr_n, ref_n, ref_u)
+    t_got, s_got = _fused_pm_impl(lr_n, ref_n, ref_u, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_want),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_want),
+                               atol=1e-5)
+
+
+def test_tie_break_picks_first(rng):
+    """Duplicate ref rows -> reference (torch.max) picks the first
+    maximal index; the one-hot path must match, not sum duplicates."""
+    lr_n, ref_n, ref_u = _inputs(rng, n=2)
+    ref_n = ref_n.at[:, 5].set(ref_n[:, 3])  # rows 3 and 5 identical
+    t_want, s_want = patch_match_xla(lr_n, ref_n, ref_u)
+    t_got, s_got = _fused_pm_impl(lr_n, ref_n, ref_u, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_want),
+                               atol=1e-5)
+
+
+def test_gradients(rng):
+    lr_n, ref_n, ref_u = _inputs(rng, n=2)
+
+    g1 = jax.grad(lambda a: jnp.sum(fused_patch_match(a, ref_n, ref_u)[0]
+                                    ** 2))(lr_n)
+    g2 = jax.grad(lambda a: jnp.sum(patch_match_xla(a, ref_n, ref_u)[0]
+                                    ** 2))(lr_n)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
