@@ -34,9 +34,14 @@ def _lu_init(key, num_channels: int):
     q = jnp.linalg.qr(w)[0]
     p, l, u = jax.scipy.linalg.lu(q)
     s = jnp.diag(u)
+    # P and sign(s) are frozen buffers. They live in the param pytree
+    # (checkpoint/transplant-friendly) under a `frozen_` prefix that
+    # the optimizer factory masks out (runner.make_optimizer) — a
+    # stop_gradient alone zeroes gradients but not adamw's decoupled
+    # weight decay, which would silently corrupt the permutation.
     return {
-        "p": p.astype(jnp.float32),
-        "sign_s": jnp.sign(s).astype(jnp.float32),
+        "frozen_p": p.astype(jnp.float32),
+        "frozen_sign_s": jnp.sign(s).astype(jnp.float32),
         "l": l.astype(jnp.float32),
         "log_s": jnp.log(jnp.abs(s)).astype(jnp.float32),
         "u": jnp.triu(u, k=1).astype(jnp.float32),
@@ -50,8 +55,8 @@ class InvertibleConv1x1(nn.Module):
     def __call__(self, x):
         lu = self.param("lu", _lu_init, self.num_channels)
         c = self.num_channels
-        p = jax.lax.stop_gradient(lu["p"])
-        sign_s = jax.lax.stop_gradient(lu["sign_s"])
+        p = jax.lax.stop_gradient(lu["frozen_p"])
+        sign_s = jax.lax.stop_gradient(lu["frozen_sign_s"])
         l_mask = jnp.asarray(np.tril(np.ones((c, c), np.float32), -1))
         l = lu["l"] * l_mask + jnp.eye(c, dtype=x.dtype)
         u = lu["u"] * l_mask.T + jnp.diag(sign_s * jnp.exp(lu["log_s"]))

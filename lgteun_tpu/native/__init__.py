@@ -55,7 +55,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.lg_tiff_info.restype = ctypes.c_int
         lib.lg_tiff_read_u16.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16)]
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64]
         lib.lg_tiff_read_u16.restype = ctypes.c_int
         lib.lg_tiff_write_u16.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
@@ -84,7 +85,8 @@ def read_tiff_native(path: str) -> np.ndarray | None:
     out = np.empty(h.value * w.value * c.value, np.uint16)
     if lib.lg_tiff_read_u16(
             path.encode(),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))) != 0:
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.size) != 0:
         return None
     if c.value > 1:
         return out.reshape(h.value, w.value, c.value)

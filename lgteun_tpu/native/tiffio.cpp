@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -pthread tiffio.cpp -o _native.so
 
+#include <cinttypes>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -24,9 +25,10 @@ struct TiffMeta {
   uint16_t samples = 1, bits = 16, compression = 1, planar = 1,
            sample_format = 1;
   // up to 64 strips supported
-  uint32_t strip_offsets[64];
-  uint32_t strip_counts[64];
+  uint32_t strip_offsets[64] = {};
+  uint32_t strip_counts[64] = {};
   int n_strips = 0;
+  int n_counts = 0;
 };
 
 uint16_t rd16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
@@ -48,11 +50,22 @@ bool parse(const uint8_t* buf, size_t len, TiffMeta* m) {
     type = rd16(e + 2);
     uint32_t count = rd32(e + 4);
     const uint8_t* val = e + 8;
+    // Out-of-line values live at an offset the file controls; every
+    // read must stay inside [buf, buf+len) or a crafted TIFF turns
+    // into an OOB read.
+    bool bad = false;
     auto value_at = [&](uint32_t idx) -> uint32_t {
-      int size = (type == 3) ? 2 : 4;
+      uint64_t size = (type == 3) ? 2 : 4;
       const uint8_t* base = val;
-      if ((uint64_t)size * count > 4) base = buf + rd32(val);
-      const uint8_t* p = base + (uint64_t)size * idx;
+      if (size * count > 4) {
+        uint32_t off = rd32(val);
+        if ((uint64_t)off + size * count > len) {
+          bad = true;
+          return 0;
+        }
+        base = buf + off;
+      }
+      const uint8_t* p = base + size * idx;
       return (type == 3) ? rd16(p) : rd32(p);
     };
     switch (tag) {
@@ -71,16 +84,20 @@ bool parse(const uint8_t* buf, size_t len, TiffMeta* m) {
         break;
       }
       case 279: {
-        if (count <= 64)
+        if (count <= 64) {
+          m->n_counts = (int)count;
           for (uint32_t k = 0; k < count; k++)
             m->strip_counts[k] = value_at(k);
+        }
         break;
       }
       default: break;
     }
+    if (bad) return false;
   }
   return m->compression == 1 && m->planar == 1 && m->n_strips > 0 &&
-         (m->bits == 8 || m->bits == 16) && m->sample_format == 1;
+         m->n_counts == m->n_strips && (m->bits == 8 || m->bits == 16) &&
+         m->sample_format == 1;
 }
 
 bool read_file(const char* path, uint8_t** out, size_t* out_len) {
@@ -89,7 +106,15 @@ bool read_file(const char* path, uint8_t** out, size_t* out_len) {
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (len < 8) {
+    fclose(f);
+    return false;
+  }
   uint8_t* buf = (uint8_t*)malloc((size_t)len);
+  if (!buf) {
+    fclose(f);
+    return false;
+  }
   size_t got = fread(buf, 1, (size_t)len, f);
   fclose(f);
   if ((long)got != len) {
@@ -120,8 +145,10 @@ int lg_tiff_info(const char* path, int* h, int* w, int* c) {
   return 0;
 }
 
-// Decode into caller-allocated uint16 buffer [h*w*c].
-int lg_tiff_read_u16(const char* path, uint16_t* out) {
+// Decode into caller-allocated uint16 buffer of `capacity` elements;
+// fails (rc 5) if the file's h*w*c exceeds capacity, so a file that
+// changed between lg_tiff_info and this call can never overflow.
+int lg_tiff_read_u16(const char* path, uint16_t* out, int64_t capacity) {
   uint8_t* buf;
   size_t len;
   if (!read_file(path, &buf, &len)) return 1;
@@ -131,6 +158,10 @@ int lg_tiff_read_u16(const char* path, uint16_t* out) {
     return 2;
   }
   size_t total = (size_t)m.height * m.width * m.samples;
+  if (capacity < 0 || total > (size_t)capacity) {
+    free(buf);
+    return 5;
+  }
   size_t written = 0;
   for (int s = 0; s < m.n_strips && written < total; s++) {
     const uint8_t* src = buf + m.strip_offsets[s];
@@ -140,7 +171,10 @@ int lg_tiff_read_u16(const char* path, uint16_t* out) {
       return 3;
     }
     if (m.bits == 16) {
+      // Clamp to the remaining output: strip_counts is file-controlled
+      // and may exceed h*w*c (heap overflow otherwise).
       size_t vals = bytes / 2;
+      if (vals > total - written) vals = total - written;
       memcpy(out + written, src, vals * 2);  // little-endian host assumed
       written += vals;
     } else {  // 8-bit: widen
@@ -228,7 +262,12 @@ void* batch_worker(void* arg) {
     int i = job->next++;
     pthread_mutex_unlock(&job->mu);
     if (i >= job->n) break;
-    if (lg_tiff_read_u16(job->paths[i], tmp) != 0) {
+    // Each file's decoded size must match the caller's tile shape, or
+    // lg_tiff_read_u16 would write past `tmp`.
+    int fh, fw, fc;
+    if (lg_tiff_info(job->paths[i], &fh, &fw, &fc) != 0 ||
+        (size_t)fh * fw * fc != (size_t)job->elems ||
+        lg_tiff_read_u16(job->paths[i], tmp, job->elems) != 0) {
       job->error = i + 1;
       break;
     }

@@ -145,7 +145,12 @@ def _fused_na_impl(x, wt, wp, wg, ww, *, fs: int = 15, tile_rows: int = 16,
     while h % th:
         th //= 2
     halo = 8  # >= fs//2, multiple of 8 for lane-aligned halo blocks
-    assert fs // 2 <= halo
+    # The halo BlockSpec index maps stride by th // halo; any th not a
+    # multiple of halo (e.g. H % 8 != 0 forcing th < 8) would make
+    # every grid program read tile 0's halo rows — silently wrong.
+    # Fall back to the XLA path for such shapes.
+    if th % halo != 0 or fs // 2 > halo:
+        return neighborhood_attention_xla(x, wt, wp, wg, ww, fs)
 
     xc = jnp.moveaxis(x, -1, 1).reshape(b, c, h * w)
     xp = jnp.pad(xc, [(0, 0), (0, 0), (halo * w, (halo + 8) * w)])

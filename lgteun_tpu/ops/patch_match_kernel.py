@@ -12,15 +12,17 @@ which is INNT's entire performance problem. This kernel computes R in
 VMEM per patch-image and emits only the [K, L] transferred patches and
 [L] scores:
 
-    R   = rn @ ln^T          (batched MXU matmul, K=36 contraction)
-    Rb  = R - i * 1e-8       (tie-break toward the smallest ref index,
-                              matching torch.max's first-max semantics)
-    S   = max_i R            (unbiased scores)
-    M   = (Rb == max_i Rb)   (one-hot of the argmax, no gather needed)
-    T   = ru @ M             (transfer as a matmul)
+    R   = rn @ ln^T           (batched MXU matmul, K=36 contraction)
+    S   = max_i R             (scores)
+    F   = min_i {i : R_i = S} (first-max index — exact integer
+                               reduction, matching torch.max's
+                               first-max semantics even on exact ties)
+    M   = (i == F)            (one-hot of the argmax, no gather needed)
+    T   = ru @ M              (transfer as a matmul)
 
-Perturbing R by <= 5.8e-6 can only flip choices between
-near-identical candidates; validated against the XLA path in
+Ties are broken on the integer index directly (an epsilon bias on R is
+below float32 ULP once |R| >= 0.25 and silently sums several tied ref
+patches); exact-tie parity vs the XLA path is covered in
 tests/test_patch_match.py.
 """
 
@@ -56,13 +58,17 @@ def _kernel(ln_ref, rn_ref, ru_ref, ts_ref, *, ppb, ll, kk):
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [P, L, L]
     # scores ride in the last row of the packed [P, K+1, L] output
-    ts_ref[:, kk:kk + 1, :] = jnp.max(r, axis=1, keepdims=True)
-    # first-max tie-break: bias strictly decreasing in the ref index
-    # (integer iota: Mosaic's tpu.iota is int-only)
-    bias = jax.lax.broadcasted_iota(
-        jnp.int32, (1, ll, 1), 1).astype(jnp.float32) * 1e-8
-    rb = r - bias
-    onehot = (rb >= jnp.max(rb, axis=1, keepdims=True)).astype(jnp.float32)
+    col_max = jnp.max(r, axis=1, keepdims=True)  # [P, 1, L]
+    ts_ref[:, kk:kk + 1, :] = col_max
+    # First-max tie-break, exact: among {i : R_i == col_max} take the
+    # smallest ref index via an integer min-reduction. (An epsilon bias
+    # on R is below float32 ULP for |R| >= 0.25, leaving multiple
+    # one-hot entries on exact ties — duplicate/flat patches are common
+    # in real feature maps.)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ppb, ll, ll), 1)
+    masked = jnp.where(r == col_max, iota, ll)
+    first = jnp.min(masked, axis=1, keepdims=True)  # [P, 1, L]
+    onehot = (iota == first).astype(jnp.float32)
     # T[p, k, j] = sum_i ru[p, k, i] onehot[p, i, j]
     ts_ref[:, :kk, :] = jax.lax.dot_general(
         ru_ref[:], onehot,

@@ -62,19 +62,37 @@ def smart_time(seconds: float) -> str:
     return f"{s // 86400}d {(s % 86400) // 3600}h"
 
 
+def _frozen_mask(params):
+    """True for every leaf whose key carries the `frozen_` prefix
+    (e.g. InvertibleConv1x1's LU permutation / sign buffers). Those
+    leaves must receive NO updates — not even adamw's decoupled weight
+    decay, which a stop_gradient in the forward cannot block."""
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: (jax.tree.map(lambda _: True, v)
+                        if str(k).startswith("frozen_") else walk(v))
+                    for k, v in node.items()}
+        return False
+
+    return walk(params)
+
+
 def make_optimizer(ocfg: OptimCfg, sched) -> optax.GradientTransformation:
-    """Optimiser factory (reference base_model.py:116-135)."""
+    """Optimiser factory (reference base_model.py:116-135); frozen
+    buffer leaves (`frozen_*`) are masked to zero updates."""
     kind = ocfg.type.lower()
     if kind == "adam":
-        return optax.adam(sched, b1=ocfg.betas[0], b2=ocfg.betas[1])
-    if kind == "adamw":
-        return optax.adamw(sched, b1=ocfg.betas[0], b2=ocfg.betas[1],
-                           weight_decay=ocfg.weight_decay)
-    if kind == "sgd":
-        return optax.sgd(sched, momentum=ocfg.momentum or None)
-    if kind == "rmsprop":
-        return optax.rmsprop(sched, momentum=ocfg.momentum)
-    raise ValueError(f"unknown optimiser {ocfg.type!r}")
+        tx = optax.adam(sched, b1=ocfg.betas[0], b2=ocfg.betas[1])
+    elif kind == "adamw":
+        tx = optax.adamw(sched, b1=ocfg.betas[0], b2=ocfg.betas[1],
+                         weight_decay=ocfg.weight_decay)
+    elif kind == "sgd":
+        tx = optax.sgd(sched, momentum=ocfg.momentum or None)
+    elif kind == "rmsprop":
+        tx = optax.rmsprop(sched, momentum=ocfg.momentum)
+    else:
+        raise ValueError(f"unknown optimiser {ocfg.type!r}")
+    return optax.chain(tx, optax.masked(optax.set_to_zero(), _frozen_mask))
 
 
 class Runner:

@@ -41,6 +41,39 @@ def test_tie_break_picks_first(rng):
                                atol=1e-5)
 
 
+def test_tie_break_all_rows_identical(rng):
+    """Flat/duplicate ref patches make EVERY correlation column an
+    exact |L|-way tie; the transfer must pick row 0, not sum all."""
+    lr_n, ref_n, ref_u = _inputs(rng, n=2)
+    ref_n = jnp.broadcast_to(ref_n[:, :1], ref_n.shape)  # all rows equal
+    t_want, s_want = patch_match_xla(lr_n, ref_n, ref_u)
+    t_got, s_got = _fused_pm_impl(lr_n, ref_n, ref_u, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_want),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_want),
+                               atol=1e-6)
+    # explicit: transferred patches are ref_u row 0 everywhere
+    np.testing.assert_allclose(np.asarray(t_got),
+                               np.broadcast_to(
+                                   np.asarray(ref_u)[:, :, :1], t_got.shape),
+                               atol=1e-6)
+
+
+def test_tie_break_large_magnitude(rng):
+    """Ties at |R| >= 0.25 where an epsilon bias is below float32 ULP
+    (the regression the index reduction fixes)."""
+    n, ll, kk = 2, 64, 36
+    lr_n = jnp.asarray(rng.standard_normal((n, ll, kk)).astype(np.float32))
+    lr_n = lr_n / jnp.linalg.norm(lr_n, axis=2, keepdims=True)
+    # every ref row = first query row -> R[:, i, 0] == 1.0 for all i
+    ref_n = jnp.broadcast_to(lr_n[:, :1], (n, ll, kk))
+    ref_u = jnp.asarray(rng.standard_normal((n, kk, ll)).astype(np.float32))
+    t_want, _ = patch_match_xla(lr_n, ref_n, ref_u)
+    t_got, _ = _fused_pm_impl(lr_n, ref_n, ref_u, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_want),
+                               atol=1e-6)
+
+
 def test_gradients(rng):
     lr_n, ref_n, ref_u = _inputs(rng, n=2)
 

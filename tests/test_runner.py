@@ -104,3 +104,36 @@ def test_multi_device_data_parallel_sharding(tmp_path, synth):
     # params remained replicated across devices
     leaf = jax.tree.leaves(runner.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_frozen_lu_buffers_survive_adamw():
+    """InvertibleConv1x1's LU permutation/sign buffers (`frozen_*`
+    leaves) must receive zero updates even under adamw's decoupled
+    weight decay (a forward stop_gradient can't block decay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.config import OptimCfg
+    from lgteun_tpu.models.common.inv_blocks import InvertibleConv1x1
+    from lgteun_tpu.runner import make_optimizer
+
+    mod = InvertibleConv1x1(num_channels=8)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 4, 4, 8)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+
+    tx = make_optimizer(OptimCfg(type="AdamW", lr=1e-2, weight_decay=0.1),
+                        1e-2)
+    state = tx.init(params)
+    grads = jax.grad(lambda p: jnp.sum(
+        mod.apply({"params": p}, x) ** 2))(params)
+    updates, state = tx.update(grads, state, params)
+    new = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    lu0, lu1 = params["lu"], new["lu"]
+    np.testing.assert_array_equal(np.asarray(lu0["frozen_p"]),
+                                  np.asarray(lu1["frozen_p"]))
+    np.testing.assert_array_equal(np.asarray(lu0["frozen_sign_s"]),
+                                  np.asarray(lu1["frozen_sign_s"]))
+    # trainable factors DID move
+    assert not np.allclose(np.asarray(lu0["log_s"]), np.asarray(lu1["log_s"]))
