@@ -16,9 +16,15 @@ data_root = os.environ.get("LGTEUN_DATA_ROOT", "data/PSData3/Dataset")
 work_dir = f"data/model_out/{name}"
 log_dir = f"logs/{model_type.lower()}/{datas}"
 
-only_test = False
+# Reference configs ship only_test=True with a released checkpoint;
+# opt in via env (see configs/unlg_former.py for the rationale).
+only_test = os.environ.get("LGTEUN_ONLY_TEST", "0") == "1"
+checkpoint = os.environ.get("LGTEUN_CHECKPOINT", "")
 
-aug_dict = {"lr_flip": 0.5, "ud_flip": 0.5}
+# The reference's shipped train loop never calls augmentation
+# (reference base_model.py:179-180); opt in with LGTEUN_AUG=1.
+aug_dict = {"lr_flip": 0.5, "ud_flip": 0.5} \
+    if os.environ.get("LGTEUN_AUG", "0") == "1" else None
 
 bit_depth = 11
 train_set_cfg = dict(

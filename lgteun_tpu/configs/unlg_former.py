@@ -21,9 +21,18 @@ data_root = os.environ.get("LGTEUN_DATA_ROOT", "data/PSData3/Dataset")
 work_dir = f"data/model_out/{name}"
 log_dir = f"logs/{model_type.lower()}/{datas}"
 
-only_test = False
+# Reference configs ship only_test=True with a released checkpoint
+# (reference configs/unlg_former.py:29-36); training is opted into.
+# Without released weights on disk we default to train+test; pass
+# --test-only (and set `checkpoint`) to reproduce the reference flow.
+only_test = os.environ.get("LGTEUN_ONLY_TEST", "0") == "1"
+checkpoint = os.environ.get("LGTEUN_CHECKPOINT", "")
 
-aug_dict = {"lr_flip": 0.5, "ud_flip": 0.5}
+# The reference declares flips but its train loop never calls the
+# augmentation (reference base_model.py:179-180) — shipped behavior is
+# no augmentation; opt in with LGTEUN_AUG=1.
+aug_dict = {"lr_flip": 0.5, "ud_flip": 0.5} \
+    if os.environ.get("LGTEUN_AUG", "0") == "1" else None
 
 bit_depth = 11
 train_set_cfg = dict(

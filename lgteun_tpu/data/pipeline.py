@@ -58,54 +58,79 @@ def _crop_resize(imgs: np.ndarray, crop_st: tuple[int, int], n: int) -> np.ndarr
     return np.asarray(resize_bicubic(cropped, (h, w), align_corners=True))
 
 
-def _augment(batch: dict, rng: np.random.Generator, aug: dict | None) -> dict:
+def _draw_aug(rng: np.random.Generator, aug: dict | None):
+    """Consume this iteration's augmentation RNG draws and return the
+    decisions. Split from `_augment` so the stream can be replayed
+    without loading any data (checkpoint-resume fast-forward)."""
+    if not aug:
+        return None
+    ud = rng.random() < aug.get("ud_flip", 0.0)
+    lr = rng.random() < aug.get("lr_flip", 0.0)
+    crops = []
+    for key, n in (("r4_crop", 4), ("r2_crop", 2)):
+        if rng.random() < aug.get(key, 0.0):
+            crops.append((n, rng.random(), rng.random()))
+    return ud, lr, crops
+
+
+def _augment(batch: dict, decisions) -> dict:
     """Flip + random-crop augmentation (reference dataset/utils.py:155-229;
     note the reference's shipped train loop has the augmentation call
     commented out — base_model.py:179-180 — so parity runs disable this
     by passing aug_dict=None)."""
-    if not aug:
+    if not decisions:
         return batch
+    ud, lr, crops = decisions
     out = dict(batch)
-    if rng.random() < aug.get("ud_flip", 0.0):
+    if ud:
         for k in _FLIP_KEYS:
             if k in out:
                 out[k] = out[k][:, ::-1, :, :]
-    if rng.random() < aug.get("lr_flip", 0.0):
+    if lr:
         for k in _FLIP_KEYS:
             if k in out:
                 out[k] = out[k][:, :, ::-1, :]
-    for key, n in (("r4_crop", 4), ("r2_crop", 2)):
-        if rng.random() < aug.get(key, 0.0):
-            lr_h = out["input_lr"].shape[1]
-            lr_w = out["input_lr"].shape[2]
-            d0 = int(lr_h // n * rng.random())
-            d1 = int(lr_w // n * rng.random())
-            for k in _FLIP_KEYS:
-                if k in out:
-                    st = (d0, d1) if k in _LR_KEYS else (d0 * 4, d1 * 4)
-                    out[k] = _crop_resize(out[k], st, n)
+    for n, u0, u1 in crops:
+        lr_h = out["input_lr"].shape[1]
+        lr_w = out["input_lr"].shape[2]
+        d0 = int(lr_h // n * u0)
+        d1 = int(lr_w // n * u1)
+        for k in _FLIP_KEYS:
+            if k in out:
+                st = (d0, d1) if k in _LR_KEYS else (d0 * 4, d1 * 4)
+                out[k] = _crop_resize(out[k], st, n)
     return out
 
 
 def train_iterator(dataset, batch_size: int, *, bit_depth: int = 11,
                    normalize: bool = True, aug_dict: dict | None = None,
-                   seed: int = 19971118,
+                   seed: int = 19971118, start_iter: int = 0,
                    drop_remainder: bool = True) -> Iterator[dict]:
     """Infinite shuffled batch iterator over a PSDataset (epoch-less,
     like the reference's `while iter < max_iter` loop,
-    reference base_model.py:175-176)."""
+    reference base_model.py:175-176).
+
+    ``start_iter`` fast-forwards the shuffle/augmentation RNG stream by
+    replaying its draws without loading any data, so a resumed run sees
+    the exact batches an uninterrupted run would (checkpoint-resume
+    determinism the reference's DataLoader restart lacks)."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
     keys = [k for k in dataset[0] if k != "image_id"]
     # Queue of shuffled indices, refilled with fresh permutations: works
     # for any batch_size (including > dataset size) and never stalls.
     queue: list[int] = []
+    for _ in range(start_iter):
+        while len(queue) < batch_size:
+            queue.extend(rng.permutation(n).tolist())
+        queue = queue[batch_size:]
+        _draw_aug(rng, aug_dict)
     while True:
         while len(queue) < batch_size:
             queue.extend(rng.permutation(n).tolist())
         idx, queue = queue[:batch_size], queue[batch_size:]
         batch = {k: np.stack([dataset[i][k] for i in idx]) for k in keys}
-        batch = _augment(batch, rng, aug_dict)
+        batch = _augment(batch, _draw_aug(rng, aug_dict))
         if normalize:
             batch = data_normalize(batch, bit_depth)
         yield {k: np.ascontiguousarray(v) for k, v in batch.items()}

@@ -86,8 +86,19 @@ def cli():
     parser = argparse.ArgumentParser(description="lgteun_tpu runner")
     parser.add_argument("-c", "--config", required=True,
                         help="path to a Python config file")
+    parser.add_argument("--test-only", action="store_true",
+                        help="skip training (the reference's shipped "
+                             "only_test=True flow, reference "
+                             "configs/unlg_former.py:29)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="checkpoint path override (reference "
+                             "configs/unlg_former.py:31-36)")
     args = parser.parse_args()
     cfg = load_config(args.config)
+    if args.test_only:
+        cfg.only_test = True
+    if args.checkpoint:
+        cfg.checkpoint = args.checkpoint
     logger = make_logger(cfg)
     logger.info(f"config: {cfg}")
     try:

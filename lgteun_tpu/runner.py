@@ -38,6 +38,7 @@ from lgteun_tpu.config import Config, OptimCfg
 from lgteun_tpu.data.pipeline import (
     data_denormalize,
     eval_batches,
+    prefetch_to_device,
     train_iterator,
 )
 from lgteun_tpu.metrics.jax_metrics import (
@@ -155,9 +156,14 @@ class Runner:
 
     def set_optim(self):
         """Per-module optimisers + StepLR schedules (reference
-        base_model.py:116-150)."""
+        base_model.py:116-150). Optimiser state restored by
+        `load_checkpoint` is kept (only the transforms are rebuilt), so
+        the lifecycle order init -> load_checkpoint -> set_optim resumes
+        Adam moments and the schedule position instead of resetting
+        them."""
         if not self.method.trainable:
             return self
+        restored = self.opt_states
         self._txs = {}
         self.opt_states = {}
         for mod in self.params:
@@ -168,7 +174,10 @@ class Runner:
                 decay_rate=self.cfg.sched_cfg.gamma,
                 staircase=True)
             self._txs[mod] = make_optimizer(ocfg, sched)
-            self.opt_states[mod] = self._txs[mod].init(self.params[mod])
+            if restored is not None and mod in restored:
+                self.opt_states[mod] = restored[mod]
+            else:
+                self.opt_states[mod] = self._txs[mod].init(self.params[mod])
         self.opt_states = jax.device_put(self.opt_states, self.param_sharding)
         return self
 
@@ -213,18 +222,30 @@ class Runner:
             self._train_step = self._build_train_step()
 
         cfg = self.cfg
+        bs = cfg.train_set_cfg.batch_size
+        # Per-iteration RNG via fold_in (stateless in iter_id) and an
+        # iterator fast-forwarded to last_iter: a resumed run replays
+        # the exact stream an uninterrupted run would.
         it = train_iterator(
-            self.train_ds, cfg.train_set_cfg.batch_size,
+            self.train_ds, bs,
             bit_depth=cfg.bit_depth, normalize=cfg.norm_input,
-            aug_dict=cfg.aug_dict or None, seed=cfg.seed)
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+            aug_dict=cfg.aug_dict or None, seed=cfg.seed,
+            start_iter=self.last_iter)
+        # Double-buffered H2D prefetch (the DataLoader-worker analog,
+        # reference configs/unlg_former.py:47): batches for iter k+1
+        # transfer while step k computes.
+        train_sharding = (self.batch_sharding
+                          if bs % self.n_devices == 0
+                          else self.param_sharding)
+        it = prefetch_to_device(it, size=2, sharding=train_sharding)
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
 
         t0 = time.time()
         iter_id = self.last_iter
         window_losses: list[dict] = []
         while iter_id < cfg.max_iter:
-            batch = self._put_batch(next(it))
-            rng, step_rng = jax.random.split(rng)
+            batch = next(it)
+            step_rng = jax.random.fold_in(base_rng, iter_id)
             self.params, self.opt_states, parts = self._train_step(
                 self.params, self.opt_states, batch, step_rng,
                 jnp.asarray(iter_id, jnp.float32))
@@ -355,37 +376,72 @@ class Runner:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def _fresh_opt_states(self):
+        """Freshly-initialised optimiser states (also the restore
+        template — structure matches what `save` wrote)."""
+        states = {}
+        for mod in self.params:
+            ocfg = self.cfg.optim_cfg.get(mod, OptimCfg())
+            sched = optax.exponential_decay(
+                init_value=ocfg.lr,
+                transition_steps=self.cfg.sched_cfg.step_size,
+                decay_rate=self.cfg.sched_cfg.gamma,
+                staircase=True)
+            states[mod] = make_optimizer(ocfg, sched).init(self.params[mod])
+        return states
+
     def save(self, iter_id: int):
         """Array-only checkpoint tagged by iteration (replaces pickled
-        modules, reference base_model.py:354-369)."""
+        modules, reference base_model.py:354-369). Unlike the
+        reference, the FULL training state is saved: params, optimiser
+        moments, and the schedule position (the count living inside
+        each optimiser state), so mid-schedule resume is exact."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(
             os.path.join(self._ckpt_dir(), f"model_iter_{iter_id}"))
         ckptr = ocp.StandardCheckpointer()
         payload = {"params": self.params, "iter_num": iter_id}
+        if self.opt_states is not None:
+            payload["opt_states"] = self.opt_states
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         self.logger.info(f"saved checkpoint {path}")
         return path
 
     def load_checkpoint(self, path: str):
-        """Restore params + last_iter so train() resumes mid-schedule
-        (reference base_model.py:102-108)."""
+        """Restore params + optimiser state + last_iter so train()
+        resumes mid-schedule exactly (reference base_model.py:102-108
+        restored weights + iter only; Adam moments and the LR schedule
+        restarted — fixed here). Params-only checkpoints (older saves,
+        torch conversions) still load."""
         import orbax.checkpoint as ocp
 
         if self.params is None:
             self.init()
         ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(path)
         template = {"params": self.params, "iter_num": 0}
-        payload = ckptr.restore(os.path.abspath(path), target=template)
+        if self.method.trainable:
+            template["opt_states"] = self._fresh_opt_states()
+        try:
+            payload = ckptr.restore(path, target=template)
+        except Exception:
+            # params-only payload (pretrained weights / old format)
+            template.pop("opt_states", None)
+            payload = ckptr.restore(path, target=template)
         self.params = jax.device_put(payload["params"], self.param_sharding)
+        if "opt_states" in payload:
+            self.opt_states = jax.device_put(payload["opt_states"],
+                                             self.param_sharding)
         self.last_iter = int(payload["iter_num"])
         self.logger.info(f"loaded checkpoint {path} (iter {self.last_iter})")
         return self
 
     def load_pretrained(self, path: str):
-        """Weights only (reference base_model.py:110-114)."""
+        """Weights only (reference base_model.py:110-114): iteration
+        and optimiser state are NOT carried over."""
         self.load_checkpoint(path)
         self.last_iter = 0
+        self.opt_states = None
         return self

@@ -84,7 +84,7 @@ def test_qnr_loss_zero_for_perfect(rng):
 
 
 def test_augmentation_crops(tmp_path, rng):
-    from lgteun_tpu.data.pipeline import _augment
+    from lgteun_tpu.data.pipeline import _augment, _draw_aug
 
     batch = {
         "input_lr": rng.uniform(0, 1, (2, 8, 8, 4)).astype(np.float32),
@@ -93,8 +93,8 @@ def test_augmentation_crops(tmp_path, rng):
         "target": rng.uniform(0, 1, (2, 32, 32, 4)).astype(np.float32),
     }
     gen = np.random.default_rng(0)
-    out = _augment(batch, gen, {"r4_crop": 1.0, "r2_crop": 1.0,
-                                "ud_flip": 1.0, "lr_flip": 1.0})
+    out = _augment(batch, _draw_aug(gen, {"r4_crop": 1.0, "r2_crop": 1.0,
+                                          "ud_flip": 1.0, "lr_flip": 1.0}))
     for k, v in out.items():
         assert v.shape == batch[k].shape
         assert not np.allclose(v, batch[k])

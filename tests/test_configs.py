@@ -33,7 +33,20 @@ def test_lgteun_config_values():
     assert cfg.sched_cfg.step_size == 22750
     assert cfg.model_cfg["core_module"]["stage"] == 2
     assert cfg.train_set_cfg.batch_size == 4
+    # shipped behavior matches the reference: no augmentation (its
+    # train loop comments the aug call out, base_model.py:179-180);
+    # LGTEUN_AUG=1 opts in
+    assert cfg.aug_dict is None
+
+
+def test_config_aug_and_test_only_env_toggles(monkeypatch):
+    monkeypatch.setenv("LGTEUN_AUG", "1")
+    monkeypatch.setenv("LGTEUN_ONLY_TEST", "1")
+    monkeypatch.setenv("LGTEUN_CHECKPOINT", "/tmp/ckpt")
+    cfg = load_config(os.path.join(CONFIG_DIR, "unlg_former.py"))
     assert cfg.aug_dict == {"lr_flip": 0.5, "ud_flip": 0.5}
+    assert cfg.only_test is True
+    assert cfg.checkpoint == "/tmp/ckpt"
 
 
 def test_sfiin_config_has_frequency_losses():

@@ -137,3 +137,40 @@ def test_frozen_lu_buffers_survive_adamw():
                                   np.asarray(lu1["frozen_sign_s"]))
     # trainable factors DID move
     assert not np.allclose(np.asarray(lu0["log_s"]), np.asarray(lu1["log_s"]))
+
+
+def test_interrupt_resume_bit_identical(tmp_path, synth):
+    """Full-state checkpointing: stopping at iter 3 and resuming must
+    produce bit-identical params at iter 6 vs an uninterrupted run
+    (Adam moments + schedule position + data/RNG streams all resume)."""
+    train_ds, test_ds = synth
+
+    def fresh(workdir, max_iter):
+        cfg = _cfg("UnlgFormer", tmp_path / workdir, max_iter=max_iter)
+        method = build_model(cfg.model_type, cfg)
+        return cfg, Runner(cfg, method, train_ds, None, test_ds,
+                           logger=logging.getLogger("test"))
+
+    # uninterrupted: 6 iters straight
+    _, r_full = fresh("full", 6)
+    r_full.init().set_optim()
+    r_full.train()
+
+    # interrupted: 3 iters, checkpoint, new runner, resume to 6
+    _, r_a = fresh("parts", 3)
+    r_a.init().set_optim()
+    r_a.train()
+    path = r_a.save(3)
+
+    cfg_b, r_b = fresh("parts2", 6)
+    r_b.init()
+    r_b.load_checkpoint(path)
+    r_b.set_optim()  # must keep the restored opt state
+    assert r_b.last_iter == 3
+    r_b.train()
+
+    want = jax_tree_flat(r_full.params)
+    got = jax_tree_flat(r_b.params)
+    assert len(want) == len(got)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
