@@ -1,0 +1,222 @@
+"""Reference (PyTorch) state_dict -> flax param PyTree converters.
+
+One rule-based translator per method: each torch key is mapped to a
+flax tree path plus an array transform. Layout conventions:
+
+- torch Conv2d weight [out, in/groups, kh, kw] -> flax NHWC kernel
+  [kh, kw, in/groups, out] (transpose (2, 3, 1, 0))
+- torch Linear weight [out, in] -> flax Dense kernel [in, out]
+- torch LayerNorm weight/bias -> flax scale/bias
+- this framework's `PointConv`/`DepConv`/`Conv` wrappers nest the
+  underlying flax Conv as `Conv_0` (and `PointConv` one deeper:
+  `Conv_0/Conv_0`)
+
+The converters take `{key: np.ndarray}` (no torch import — call
+`.numpy()` on the torch side, see scripts/convert_torch_ckpt.py) and
+return the exact tree `Method.init_params` produces, so transplanted
+weights drop into the Runner / orbax checkpoints unchanged.
+
+Reference checkpoint format: models/base/base_model.py:354-369 pickles
+whole nn.Modules under module names ('core_module', ...) plus
+'iter_num'.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict
+
+import numpy as np
+
+__all__ = ["CONVERTERS", "convert_state_dict"]
+
+Array = np.ndarray
+SD = Dict[str, Array]
+
+
+def _conv(w: Array) -> Array:
+    """torch conv [out, in/g, kh, kw] -> flax [kh, kw, in/g, out]."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _set(tree: dict, path: str, value: Array) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value, np.float32)
+
+
+def _point(prefix: str) -> dict[str, tuple[str, Callable]]:
+    """PointConv wrapper: weight/bias live under Conv_0/Conv_0."""
+    return {"weight": (f"{prefix}/Conv_0/Conv_0/kernel", _conv),
+            "bias": (f"{prefix}/Conv_0/Conv_0/bias", lambda x: x)}
+
+
+def _dep(prefix: str) -> dict[str, tuple[str, Callable]]:
+    """DepConv wrapper: weight/bias live under Conv_0/Conv_0."""
+    return _point(prefix)
+
+
+def _raw_conv(prefix: str) -> dict[str, tuple[str, Callable]]:
+    """Bare Conv wrapper: weight/bias live under Conv_0."""
+    return {"weight": (f"{prefix}/Conv_0/kernel", _conv),
+            "bias": (f"{prefix}/Conv_0/bias", lambda x: x)}
+
+
+# --------------------------------------------------------------- LGTEUN
+
+def _lgteun_lgb(t_prefix: str, f_prefix: str, key: str, val: Array,
+                out: dict) -> bool:
+    """Translate one key inside a reference LGB (reference
+    LGT.py:222-248) to the flax LGB tree (models/common/lgt.py)."""
+    m = re.match(rf"{re.escape(t_prefix)}\.blocks\.(\d+)\.([01])\.fn\.(.+)",
+                 key)
+    if not m:
+        return False
+    blk, half, rest = int(m.group(1)), m.group(2), m.group(3)
+    if half == "0":  # residual(pre_norm(LGMixer))
+        if rest == "norm.weight":
+            _set(out, f"{f_prefix}/norm_mix_{blk}/scale", val)
+        elif rest == "norm.bias":
+            _set(out, f"{f_prefix}/norm_mix_{blk}/bias", val)
+        elif rest == "fn.local_mixer.pos_emb":
+            _set(out, f"{f_prefix}/mixer_{blk}/local/pos_emb", val[0])
+        elif rest == "fn.local_mixer.to_qkv.weight":
+            _set(out, f"{f_prefix}/mixer_{blk}/local/to_qkv_kernel",
+                 _conv(val))
+        elif rest == "fn.local_mixer.to_qkv.bias":
+            _set(out, f"{f_prefix}/mixer_{blk}/local/to_qkv_bias", val)
+        elif rest == "fn.global_mixer.conv_amp.0.weight":
+            _set(out, f"{f_prefix}/mixer_{blk}/global/amp_scale", _conv(val))
+        elif rest == "fn.global_mixer.conv_amp.0.bias":
+            _set(out, f"{f_prefix}/mixer_{blk}/global/amp_bias", val)
+        elif rest == "fn.global_mixer.conv_pha.0.weight":
+            _set(out, f"{f_prefix}/mixer_{blk}/global/pha_scale", _conv(val))
+        elif rest == "fn.global_mixer.conv_pha.0.bias":
+            _set(out, f"{f_prefix}/mixer_{blk}/global/pha_bias", val)
+        elif rest == "fn.proj.weight":
+            _set(out, f"{f_prefix}/mixer_{blk}/proj/Conv_0/Conv_0/kernel",
+                 _conv(val))
+        elif rest == "fn.proj.bias":
+            _set(out, f"{f_prefix}/mixer_{blk}/proj/Conv_0/Conv_0/bias", val)
+        else:
+            raise KeyError(f"unmapped LGB mixer key: {key}")
+    else:  # residual(pre_norm(feed_forward)) -> fused-FFN raw params
+        ffn = f"{f_prefix}/ffn_{blk}"
+        table = {
+            "norm.weight": (f"{ffn}/ln_gamma", lambda x: x),
+            "norm.bias": (f"{ffn}/ln_beta", lambda x: x),
+            "fn.net.0.weight": (f"{ffn}/w1", _conv),
+            "fn.net.0.bias": (f"{ffn}/b1", lambda x: x),
+            "fn.net.2.point_conv.weight": (f"{ffn}/w2", _conv),
+            "fn.net.2.point_conv.bias": (f"{ffn}/b2", lambda x: x),
+            "fn.net.2.depth_conv.weight": (f"{ffn}/dw", _conv),
+            "fn.net.2.depth_conv.bias": (f"{ffn}/bdw", lambda x: x),
+            "fn.net.4.weight": (f"{ffn}/w3", _conv),
+            "fn.net.4.bias": (f"{ffn}/b3", lambda x: x),
+        }
+        if rest not in table:
+            raise KeyError(f"unmapped LGB ffn key: {key}")
+        path, tf = table[rest]
+        _set(out, path, tf(val))
+    return True
+
+
+def _lgteun_lgt(t_prefix: str, f_prefix: str, key: str, val: Array,
+                out: dict) -> bool:
+    """Translate one key inside a reference LGT (reference
+    LGT.py:251-344) to the flax LGT tree."""
+    if not key.startswith(t_prefix + "."):
+        return False
+    rest = key[len(t_prefix) + 1:]
+    simple = {
+        "patch_embed.proj.0.weight": ("patch_dw/Conv_0/kernel", _conv),
+        "patch_embed.proj.0.bias": ("patch_dw/Conv_0/bias", lambda x: x),
+        "patch_embed.proj.1.weight": ("patch_pw/Conv_0/Conv_0/kernel", _conv),
+        "patch_embed.proj.1.bias": ("patch_pw/Conv_0/Conv_0/bias",
+                                    lambda x: x),
+        "patch_embed.norm.weight": ("patch_norm_ln/scale", lambda x: x),
+        "patch_embed.norm.bias": ("patch_norm_ln/bias", lambda x: x),
+        "tail.1.weight": ("tail/Conv_0/Conv_0/kernel", _conv),
+        "tail.1.bias": ("tail/Conv_0/Conv_0/bias", lambda x: x),
+    }
+    if rest in simple:
+        path, tf = simple[rest]
+        _set(out, f"{f_prefix}/{path}", tf(val))
+        return True
+    m = re.match(r"encoder_layers\.(\d+)\.1\.1\.(weight|bias)", rest)
+    if m:
+        i, wb = m.group(1), m.group(2)
+        tf = _conv if wb == "weight" else (lambda x: x)
+        _set(out, f"{f_prefix}/enc_down_{i}/Conv_0/Conv_0/"
+             f"{'kernel' if wb == 'weight' else 'bias'}", tf(val))
+        return True
+    m = re.match(r"decoder_layers\.(\d+)\.([01])\.(?:1\.)?(weight|bias)",
+                 rest)
+    if m:
+        i, which, wb = m.group(1), m.group(2), m.group(3)
+        name = f"dec_up_{i}" if which == "0" else f"dec_fuse_{i}"
+        tf = _conv if wb == "weight" else (lambda x: x)
+        _set(out, f"{f_prefix}/{name}/Conv_0/Conv_0/"
+             f"{'kernel' if wb == 'weight' else 'bias'}", tf(val))
+        return True
+    m = re.match(r"encoder_layers\.(\d+)\.0\.", rest)
+    if m:
+        return _lgteun_lgb(f"{t_prefix}.encoder_layers.{m.group(1)}.0",
+                           f"{f_prefix}/enc_lgb_{m.group(1)}", key, val, out)
+    if rest.startswith("bottleneck."):
+        return _lgteun_lgb(f"{t_prefix}.bottleneck",
+                           f"{f_prefix}/bottleneck", key, val, out)
+    m = re.match(r"decoder_layers\.(\d+)\.2\.", rest)
+    if m:
+        return _lgteun_lgb(f"{t_prefix}.decoder_layers.{m.group(1)}.2",
+                           f"{f_prefix}/dec_lgb_{m.group(1)}", key, val, out)
+    raise KeyError(f"unmapped LGT key: {key}")
+
+
+def convert_lgteun(sd: SD) -> dict:
+    """Reference `Pansharpening` state_dict (reference
+    unlg_former.py:21-67) -> flax LGTEUN params."""
+    out: dict = {}
+    for key, val in sd.items():
+        m = re.match(r"(D|DT)\.([13])\.(weight|bias)", key)
+        if m:
+            grp, idx, wb = m.groups()
+            name = "dw0" if idx == "1" else "dw1"
+            tf = _conv if wb == "weight" else (lambda x: x)
+            _set(out, f"{grp}/{name}/Conv_0/Conv_0/"
+                 f"{'kernel' if wb == 'weight' else 'bias'}", tf(val))
+            continue
+        m = re.match(r"(R|RT)\.(weight|bias)", key)
+        if m:
+            grp, wb = m.groups()
+            tf = _conv if wb == "weight" else (lambda x: x)
+            _set(out, f"{grp}/Conv_0/Conv_0/"
+                 f"{'kernel' if wb == 'weight' else 'bias'}", tf(val))
+            continue
+        m = re.match(r"eta\.(\d+)", key)
+        if m:
+            _set(out, f"eta_{m.group(1)}", val)
+            continue
+        m = re.match(r"prior_module\.(\d+)\.", key)
+        if m:
+            i = m.group(1)
+            if _lgteun_lgt(f"prior_module.{i}", f"prior_{i}", key, val, out):
+                continue
+        raise KeyError(f"unmapped LGTEUN key: {key}")
+    return out
+
+
+CONVERTERS: Dict[str, Callable[[SD], dict]] = {
+    "UnlgFormer": convert_lgteun,
+}
+
+
+def convert_state_dict(model_type: str, sd: SD) -> dict:
+    """Dispatch on the registry name (reference cfg.model_type)."""
+    if model_type not in CONVERTERS:
+        raise KeyError(
+            f"no torch converter for {model_type!r}; "
+            f"available: {sorted(CONVERTERS)}")
+    return CONVERTERS[model_type](sd)

@@ -9,7 +9,18 @@ unfolding with K stages:
         ms_term  = DT(D(Z) - ms)     # D/DT: 2x [resize 1/2 or 2 + dw3x3]
         pan_term = RT(R(Z) - pan)    # R/RT: 1x1 convs C<->1
         Z <- Z - eta_i * (ms_term + pan_term)   # learnable scalar eta
-        Z <- LGT_i(Z)                           # transformer prior
+        out_i = LGT_i(Z)                        # transformer prior
+    return out_{K-1}
+
+NOTE the prior output is NOT fed back into Z — the reference appends
+`Z_ = prior_module[i](Z)` to an output list and keeps iterating on the
+un-denoised Z, returning only the final element (reference
+unlg_former.py:56-67: `Z` is never reassigned from `Z_`). Forward
+parity for K >= 2 requires reproducing this exactly. Consequences this
+framework inherits deliberately: intermediate priors receive no
+gradient (their outputs are discarded), and under XLA their forward is
+dead code — so K-stage inference costs K gradient steps + ONE prior,
+which is why our K=2 runtime is close to the reference's K=1.
 
 Shipped config: K=2, embed = 4*ms_chans, window 8, num_block (2,1),
 2 heads (reference configs/unlg_former.py:92-94 and
@@ -68,13 +79,19 @@ class LGTEUN(nn.Module):
         rt = PointConv(c, name="RT")
 
         z = sampling(ms, 4)
+        out = z
         for i in range(self.stage):
             eta = self.param(f"eta_{i}", lambda *_: jnp.asarray(0.1, jnp.float32))
             ms_term = up(down(z) - ms)
             pan_term = rt(r(z) - pan)
             z = z - eta * (ms_term + pan_term)
-            z = LGT(in_channels=c, embed_channels=c * 4, patch_size=1,
-                    window_size=self.window_size, num_block=(2, 1),
-                    num_heads=self.num_heads, name=f"prior_{i}")(
-                        z, deterministic=deterministic)
-        return z
+            # Reference semantics: the prior's output is recorded but
+            # NOT fed back (reference unlg_former.py:61-67). All prior
+            # modules are still *called* so their params exist for
+            # checkpoint/transplant parity; XLA dead-code-eliminates
+            # every call but the last.
+            out = LGT(in_channels=c, embed_channels=c * 4, patch_size=1,
+                      window_size=self.window_size, num_block=(2, 1),
+                      num_heads=self.num_heads, name=f"prior_{i}")(
+                          z, deterministic=deterministic)
+        return out

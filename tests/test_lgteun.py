@@ -52,9 +52,19 @@ def test_gradients_flow(rng):
     g = jax.grad(loss_fn)(params)
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
-    # every parameter (including the eta scalars) receives gradient
-    nonzero = [float(jnp.abs(x).max()) > 0 for x in leaves]
-    assert np.mean(nonzero) > 0.95
+    gp = g["params"]
+    # Reference semantics (unlg_former.py:61-67): only the FINAL prior
+    # contributes to the output, so intermediate priors receive zero
+    # gradient; everything else (D/DT/R/RT, both etas, final prior)
+    # must receive gradient.
+    final = max(k for k in gp if k.startswith("prior_"))
+    for name, sub in gp.items():
+        sub_leaves = jax.tree.leaves(sub)
+        nonzero = [float(jnp.abs(x).max()) > 0 for x in sub_leaves]
+        if name.startswith("prior_") and name != final:
+            assert not any(nonzero), f"{name} should be gradient-dead"
+        else:
+            assert np.mean(nonzero) > 0.95, name
 
 
 @pytest.mark.slow
