@@ -208,8 +208,135 @@ def convert_lgteun(sd: SD) -> dict:
     return out
 
 
+# --------------------------------------------------------------- PanFormer
+
+def _linear(w: Array) -> Array:
+    """torch Linear [out, in] -> flax Dense [in, out]."""
+    return np.ascontiguousarray(np.transpose(w, (1, 0)))
+
+
+def _swin_module(t_prefix: str, f_prefix: str, key: str, val: Array,
+                 out: dict) -> bool:
+    """Translate one key inside a reference SwinModule (reference
+    modules.py:458-502) to the flax SwinModule tree (common/swin.py).
+
+    torch structure: patch_partition.linear; layers.{i}.{0|1} with
+    0=regular/1=shifted SwinBlock; block = attention_block
+    (Residual(PreNorm(WindowAttention))) + mlp_block
+    (Residual(PreNorm(FeedForward))) -> keys *.fn.norm / *.fn.fn.
+    The shifted blocks' upper_lower_mask/left_right_mask are frozen
+    constants (reference modules.py:358-362) recomputed on the flax
+    side — skipped here."""
+    if not key.startswith(t_prefix + "."):
+        return False
+    rest = key[len(t_prefix) + 1:]
+    m = re.match(r"patch_partition\.linear\.(weight|bias)", rest)
+    if m:
+        wb = m.group(1)
+        tf = _linear if wb == "weight" else (lambda x: x)
+        _set(out, f"{f_prefix}/patch_partition/linear/Dense_0/"
+             f"{'kernel' if wb == 'weight' else 'bias'}", tf(val))
+        return True
+    m = re.match(r"layers\.(\d+)\.([01])\.(.+)", rest)
+    if not m:
+        raise KeyError(f"unmapped SwinModule key: {key}")
+    i, which, sub = int(m.group(1)), m.group(2), m.group(3)
+    blk = f"{f_prefix}/{'regular' if which == '0' else 'shifted'}_{i}"
+    if sub.endswith(("upper_lower_mask", "left_right_mask")):
+        return True  # recomputed, not parameters
+    table = {
+        "attention_block.fn.norm.weight": (f"{blk}/attn_norm/scale", None),
+        "attention_block.fn.norm.bias": (f"{blk}/attn_norm/bias", None),
+        "attention_block.fn.fn.pos_embedding": (f"{blk}/attn/pos_embedding",
+                                                None),
+        "attention_block.fn.fn.to_qkv.weight":
+            (f"{blk}/attn/to_qkv/Dense_0/kernel", _linear),
+        "attention_block.fn.fn.to_kv.weight":
+            (f"{blk}/attn/to_kv/Dense_0/kernel", _linear),
+        "attention_block.fn.fn.to_q.weight":
+            (f"{blk}/attn/to_q/Dense_0/kernel", _linear),
+        "attention_block.fn.fn.to_out.weight":
+            (f"{blk}/attn/to_out/Dense_0/kernel", _linear),
+        "attention_block.fn.fn.to_out.bias":
+            (f"{blk}/attn/to_out/Dense_0/bias", None),
+        "mlp_block.fn.norm.weight": (f"{blk}/mlp_norm/scale", None),
+        "mlp_block.fn.norm.bias": (f"{blk}/mlp_norm/bias", None),
+        "mlp_block.fn.fn.net.0.weight": (f"{blk}/mlp_fc1/Dense_0/kernel",
+                                         _linear),
+        "mlp_block.fn.fn.net.0.bias": (f"{blk}/mlp_fc1/Dense_0/bias", None),
+        "mlp_block.fn.fn.net.2.weight": (f"{blk}/mlp_fc2/Dense_0/kernel",
+                                         _linear),
+        "mlp_block.fn.fn.net.2.bias": (f"{blk}/mlp_fc2/Dense_0/bias", None),
+    }
+    if sub not in table:
+        raise KeyError(f"unmapped SwinBlock key: {key}")
+    path, tf = table[sub]
+    _set(out, path, tf(val) if tf else val)
+    return True
+
+
+def convert_panformer(sd: SD) -> dict:
+    """Reference `CrossSwinTransformer` state_dict (reference
+    panformer.py:21-108) -> flax CrossSwinTransformer params."""
+    out: dict = {}
+    tail = {"0": "tail_conv0", "3": "tail_conv1", "6": "tail_conv2",
+            "8": "tail_conv3"}
+    for key, val in sd.items():
+        m = re.match(r"HR_tail\.(\d+)\.(weight|bias)", key)
+        if m:
+            idx, wb = m.groups()
+            tf = _conv if wb == "weight" else (lambda x: x)
+            _set(out, f"{tail[idx]}/Conv_0/"
+                 f"{'kernel' if wb == 'weight' else 'bias'}", tf(val))
+            continue
+        m = re.match(r"(pan_encoder|ms_encoder)\.(\d+)\.", key)
+        if m:
+            grp = "pan_enc" if m.group(1) == "pan_encoder" else "ms_enc"
+            if _swin_module(f"{m.group(1)}.{m.group(2)}",
+                            f"{grp}_{m.group(2)}", key, val, out):
+                continue
+        m = re.match(r"(pan_cross_ms|ms_cross_pan)\.(\d+)\.", key)
+        if m:
+            if _swin_module(f"{m.group(1)}.{m.group(2)}",
+                            f"{m.group(1)}_{m.group(2)}", key, val, out):
+                continue
+        raise KeyError(f"unmapped PanFormer key: {key}")
+    return out
+
+
+# --------------------------------------------------------------- lightnet
+
+def convert_lightnet(sd: SD) -> dict:
+    """Reference `LightNet` state_dict (reference lightnet.py:85-135)
+    -> flax LightNetModule params. SpanConv branches map point_wise_n /
+    depth_wise_n -> pwN / dwN raw nn.Conv leaves."""
+    seq = {"head_conv.0": "head0", "head_conv.1": "head1",
+           "head_conv.2": "head2",
+           "belly_conv.0.conv1": "belly0/conv1",
+           "belly_conv.0.conv2": "belly0/conv2",
+           "belly_conv.1.conv1": "belly1/conv1",
+           "belly_conv.1.conv2": "belly1/conv2",
+           "tail_conv.0": "tail0", "tail_conv.1": "tail1",
+           "tail_conv.2": "tail2"}
+    branch = {"point_wise_1": "pw1", "depth_wise_1": "dw1",
+              "point_wise_2": "pw2", "depth_wise_2": "dw2"}
+    out: dict = {}
+    for key, val in sd.items():
+        m = re.match(r"(.+)\.(point_wise_[12]|depth_wise_[12])\.(weight|bias)",
+                     key)
+        if not m or m.group(1) not in seq:
+            raise KeyError(f"unmapped lightnet key: {key}")
+        prefix, leaf, wb = seq[m.group(1)], branch[m.group(2)], m.group(3)
+        tf = _conv if wb == "weight" else (lambda x: x)
+        _set(out, f"{prefix}/{leaf}/{'kernel' if wb == 'weight' else 'bias'}",
+             tf(val))
+    return out
+
+
 CONVERTERS: Dict[str, Callable[[SD], dict]] = {
     "UnlgFormer": convert_lgteun,
+    "lightnet": convert_lightnet,
+    "PanFormer": convert_panformer,
 }
 
 

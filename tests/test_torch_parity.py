@@ -82,3 +82,69 @@ def test_lgteun_forward_parity(ref_models, rng, c, stage):
     got = model.apply({"params": params}, jnp.asarray(ms_x),
                       jnp.asarray(pan_x), deterministic=True)
     _assert_close(got, want, 2e-4, f"LGTEUN c={c} K={stage}")
+
+
+def _transplant_and_compare(model, params_np, ms_x, pan_x, want, atol,
+                            label):
+    """Shared tail: structure check + forward compare."""
+    import jax
+    import jax.numpy as jnp
+
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.asarray(ms_x[:1]), jnp.asarray(pan_x[:1]))["params"]
+    want_tree = jax.tree_util.tree_structure(init)
+    got_tree = jax.tree_util.tree_structure(
+        jax.tree.map(jnp.asarray, params_np))
+    assert want_tree == got_tree, f"{label}: param tree mismatch"
+    got = model.apply({"params": params_np}, jnp.asarray(ms_x),
+                      jnp.asarray(pan_x), deterministic=True)
+    _assert_close(got, want, atol, label)
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_lightnet_forward_parity(ref_models, rng, c):
+    """LightNet (reference lightnet.py:85-135)."""
+    from lgteun_tpu.convert import convert_state_dict
+    from lgteun_tpu.models.lightnet import LightNetModule
+
+    from models.lightnet import LightNet
+
+    torch.manual_seed(11)
+    ref = LightNet(cfg=reference_config(ms_chans=c), logger=None).eval()
+    ms_x, pan_x = _np_inputs(rng, c)
+    with torch.no_grad():
+        want = ref(_to_torch_nchw(ms_x), _to_torch_nchw(pan_x))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    model = LightNetModule(ms_chans=c)
+    params = convert_state_dict("lightnet", _sd_numpy(ref))
+    _transplant_and_compare(model, params, ms_x, pan_x, want, 1e-4,
+                            f"lightnet c={c}")
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_panformer_forward_parity(ref_models, rng, c):
+    """PanFormer (reference panformer.py:21-108) with the shipped
+    hyperparameters (reference configs/PanFormer.py:76-86); exercises
+    the full Swin machinery incl. shifted-window masks and
+    cross-attention."""
+    from lgteun_tpu.convert import convert_state_dict
+    from lgteun_tpu.models.panformer import CrossSwinTransformer
+
+    from models.panformer import CrossSwinTransformer as RefCST
+
+    torch.manual_seed(3)
+    cfg = reference_config(ms_chans=c, norm_input=True, bit_depth=11)
+    ref = RefCST(cfg=cfg, logger=None, n_feats=64, n_heads=8, head_dim=8,
+                 win_size=4, n_blocks=3).eval()
+    ms_x, pan_x = _np_inputs(rng, c, ms=32, pan=128, b=1)
+    with torch.no_grad():
+        want = ref(_to_torch_nchw(pan_x), _to_torch_nchw(ms_x))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    model = CrossSwinTransformer(ms_chans=c, n_feats=64, n_heads=8,
+                                 head_dim=8, win_size=4, n_blocks=3,
+                                 norm_input=True, bit_depth=11)
+    params = convert_state_dict("PanFormer", _sd_numpy(ref))
+    _transplant_and_compare(model, params, ms_x, pan_x, want, 5e-4,
+                            f"PanFormer c={c}")
