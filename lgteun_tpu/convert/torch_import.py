@@ -208,6 +208,334 @@ def convert_lgteun(sd: SD) -> dict:
     return out
 
 
+# ----------------------------------------------------- shared inv-net parts
+
+def _invconv(t_prefix: str, f_prefix: str) -> dict[str, tuple[str, Callable]]:
+    """InvertibleConv1x1 (LU): torch buffers/params (reference
+    SFIIN.py:26-50) -> the single `lu` pytree param
+    (common/inv_blocks.py)."""
+    ident = lambda x: x
+    return {
+        f"{t_prefix}.p": (f"{f_prefix}/lu/frozen_p", ident),
+        f"{t_prefix}.sign_s": (f"{f_prefix}/lu/frozen_sign_s", ident),
+        f"{t_prefix}.l": (f"{f_prefix}/lu/l", ident),
+        f"{t_prefix}.log_s": (f"{f_prefix}/lu/log_s", ident),
+        f"{t_prefix}.u": (f"{f_prefix}/lu/u", ident),
+    }
+
+
+def _dense_block(t_prefix: str, f_prefix: str) -> dict:
+    """DenseBlock = 2 UNetConvBlocks + conv3 (reference
+    SFIIN.py:137-173). flax: conv{1,2}/{identity,conv_1,conv_2}/Conv_0
+    and conv3/Conv_0."""
+    out = {}
+    for blk in ("conv1", "conv2"):
+        for leaf in ("identity", "conv_1", "conv_2"):
+            out.update({
+                f"{t_prefix}.{blk}.{leaf}.weight":
+                    (f"{f_prefix}/{blk}/{leaf}/Conv_0/kernel", _conv),
+                f"{t_prefix}.{blk}.{leaf}.bias":
+                    (f"{f_prefix}/{blk}/{leaf}/Conv_0/bias", lambda x: x),
+            })
+    out.update({
+        f"{t_prefix}.conv3.weight": (f"{f_prefix}/conv3/Conv_0/kernel", _conv),
+        f"{t_prefix}.conv3.bias": (f"{f_prefix}/conv3/Conv_0/bias",
+                                   lambda x: x),
+    })
+    return out
+
+
+def _inv_block(t_prefix: str, f_prefix: str) -> dict:
+    """InvBlock: invconv + F/G/H DenseBlocks (reference SFIIN.py:176-207)."""
+    out = _invconv(f"{t_prefix}.invconv", f"{f_prefix}/invconv")
+    for sub in ("F", "G", "H"):
+        out.update(_dense_block(f"{t_prefix}.{sub}", f"{f_prefix}/{sub}"))
+    return out
+
+
+def _refine(t_prefix: str, f_prefix: str, n_ca: int = 1) -> dict:
+    """Refine/Refine1/Refine2 tails (reference mz_refine.py:59-117)."""
+    out = {}
+    for t_leaf, f_leaf in (("conv_in", "conv_in"), ("conv_last", "conv_last")):
+        out.update({
+            f"{t_prefix}.{t_leaf}.weight":
+                (f"{f_prefix}/{f_leaf}/Conv_0/kernel", _conv),
+            f"{t_prefix}.{t_leaf}.bias":
+                (f"{f_prefix}/{f_leaf}/Conv_0/bias", lambda x: x),
+        })
+    for i in range(n_ca):
+        ca_t = f"{t_prefix}.process.{i}"
+        ca_f = f"{f_prefix}/ca_{i}"
+        for t_leaf, f_leaf in (("process.0", "process0"),
+                               ("process.2", "process1"),
+                               ("conv_du.0", "du0"), ("conv_du.2", "du1")):
+            out.update({
+                f"{ca_t}.{t_leaf}.weight":
+                    (f"{ca_f}/{f_leaf}/Conv_0/kernel", _conv),
+                f"{ca_t}.{t_leaf}.bias":
+                    (f"{ca_f}/{f_leaf}/Conv_0/bias", lambda x: x),
+            })
+    return out
+
+
+def _apply_table(sd: SD, table: dict, out: dict, label: str) -> None:
+    for key, val in sd.items():
+        if key not in table:
+            raise KeyError(f"unmapped {label} key: {key}")
+        path, tf = table[key]
+        _set(out, path, tf(val))
+
+
+# ------------------------------------------------------------------ SFIIN
+
+def _sfiin_spafre(t_prefix: str, f_prefix: str) -> dict:
+    """SpaFre block (reference SFIIN.py:240-258)."""
+    table = {}
+    for t_leaf, f_leaf in (("panprocess", "panprocess"), ("panpre", "panpre"),
+                           ("spa_process.1", "spa_out"),
+                           ("spa_att.0", "spa_att0"), ("spa_att.2", "spa_att1"),
+                           ("cha_att.0", "cha_att0"), ("cha_att.2", "cha_att1"),
+                           ("post", "post"),
+                           ("fre_process.pre1", "fre_process/pre1"),
+                           ("fre_process.pre2", "fre_process/pre2"),
+                           ("fre_process.amp_fuse.0", "fre_process/amp_fuse0"),
+                           ("fre_process.amp_fuse.2", "fre_process/amp_fuse1"),
+                           ("fre_process.pha_fuse.0", "fre_process/pha_fuse0"),
+                           ("fre_process.pha_fuse.2", "fre_process/pha_fuse1"),
+                           ("fre_process.post", "fre_process/post")):
+        table.update({
+            f"{t_prefix}.{t_leaf}.weight":
+                (f"{f_prefix}/{f_leaf}/Conv_0/kernel", _conv),
+            f"{t_prefix}.{t_leaf}.bias":
+                (f"{f_prefix}/{f_leaf}/Conv_0/bias", lambda x: x),
+        })
+    table.update(_inv_block(f"{t_prefix}.spa_process.0",
+                            f"{f_prefix}/spa_inv"))
+    return table
+
+
+def convert_sfiin(sd: SD) -> dict:
+    """Reference SFIIN `Net` state_dict (reference SFIIN.py:317-340)
+    -> flax SFIINNet params."""
+    table = {}
+    for t_leaf, f_leaf in (("process.conv_p", "conv_p"),
+                           ("process.conv_p1", "conv_p1"),
+                           ("process.fuse", "fuse")):
+        table.update({
+            f"{t_leaf}.weight": (f"{f_leaf}/Conv_0/kernel", _conv),
+            f"{t_leaf}.bias": (f"{f_leaf}/Conv_0/bias", lambda x: x),
+        })
+    blocks = ["block", "block1", "block2", "block3", "block4"]
+    for i, t_blk in enumerate(blocks):
+        table.update(_sfiin_spafre(f"process.{t_blk}", f"block{i}"))
+    table.update(_refine("refine", "refine", n_ca=1))
+    out: dict = {}
+    _apply_table(sd, table, out, "SFIIN")
+    return out
+
+
+# ------------------------------------------------------------------ MutInf
+
+def _hin_block(t_prefix: str, f_prefix: str) -> dict:
+    """MutInf's UNetConvBlock with half-instance-norm (reference
+    MutInf.py:137-160) -> _HINConvBlock."""
+    table = {}
+    for leaf in ("identity", "conv_1", "conv_2"):
+        table.update({
+            f"{t_prefix}.{leaf}.weight":
+                (f"{f_prefix}/{leaf}/Conv_0/kernel", _conv),
+            f"{t_prefix}.{leaf}.bias":
+                (f"{f_prefix}/{leaf}/Conv_0/bias", lambda x: x),
+        })
+    table[f"{t_prefix}.norm.weight"] = (f"{f_prefix}/in_gamma", lambda x: x)
+    table[f"{t_prefix}.norm.bias"] = (f"{f_prefix}/in_beta", lambda x: x)
+    return table
+
+
+def _dense_mscale(t_prefix: str, f_prefix: str) -> dict:
+    """DenseBlockMscale (reference MutInf.py:184-211): shared HIN dense
+    block + SE-style per-scale gates."""
+    table = {}
+    table.update(_hin_block(f"{t_prefix}.ops.conv1", f"{f_prefix}/ops/conv1"))
+    table.update(_hin_block(f"{t_prefix}.ops.conv2", f"{f_prefix}/ops/conv2"))
+    for t_leaf, f_leaf in (("ops.conv3", "ops/conv3"),
+                           ("fusepool.1", "fusepool"), ("fc1.0", "fc1"),
+                           ("fc2.0", "fc2"), ("fc3.0", "fc3"),
+                           ("fuse", "fuse")):
+        table.update({
+            f"{t_prefix}.{t_leaf}.weight":
+                (f"{f_prefix}/{f_leaf}/Conv_0/kernel", _conv),
+            f"{t_prefix}.{t_leaf}.bias":
+                (f"{f_prefix}/{f_leaf}/Conv_0/bias", lambda x: x),
+        })
+    return table
+
+
+def _edge_block(t_prefix: str, f_prefix: str) -> dict:
+    """EdgeBlock: conv + residual stack + gated CDC (reference
+    MutInf.py:356-368, CDC.py:77-93). CDC (1,5) tap kernels keep the
+    torch->HWIO transpose; HP_branch maps to hp_branch."""
+    table = {}
+    for t_leaf, f_leaf in (("process", "process"), ("Res.0", "res0"),
+                           ("Res.2", "res1")):
+        table.update({
+            f"{t_prefix}.{t_leaf}.weight":
+                (f"{f_prefix}/{f_leaf}/Conv_0/kernel", _conv),
+            f"{t_prefix}.{t_leaf}.bias":
+                (f"{f_prefix}/{f_leaf}/Conv_0/bias", lambda x: x),
+        })
+    for br in ("h_conv", "d_conv"):
+        table[f"{t_prefix}.CDC.{br}.conv.weight"] = (
+            f"{f_prefix}/cdc/{br}/taps", _conv)
+    table[f"{t_prefix}.CDC.HP_branch"] = (f"{f_prefix}/cdc/hp_branch",
+                                          lambda x: x)
+    return table
+
+
+def convert_mutinf(sd: SD) -> dict:
+    """Reference MutInf `GPPNN` state_dict (reference MutInf.py:313-345)
+    -> flax GPPNNMutInf params."""
+    table = {}
+    for grp in ("extract_pan", "extract_ms"):
+        table.update({
+            f"{grp}.conv.weight": (f"{grp}/conv/Conv_0/kernel", _conv),
+            f"{grp}.conv.bias": (f"{grp}/conv/Conv_0/bias", lambda x: x),
+        })
+        for blk in ("block1", "block2"):
+            table.update(_edge_block(f"{grp}.{blk}", f"{grp}/{blk}"))
+    for i in range(4):
+        t_op = f"interact.operations.{i}"
+        f_op = f"inv_{i}"
+        table.update(_invconv(f"{t_op}.invconv", f"{f_op}/invconv"))
+        for sub in ("F", "G", "H"):
+            table.update(_dense_mscale(f"{t_op}.{sub}", f"{f_op}/{sub}"))
+    table.update({
+        "interact.fuse.weight": ("interact_fuse/Conv_0/kernel", _conv),
+        "interact.fuse.bias": ("interact_fuse/Conv_0/bias", lambda x: x),
+    })
+    table.update(_refine("refine", "refine", n_ca=2))
+    out: dict = {}
+    _apply_table(sd, table, out, "MutInf")
+    return out
+
+
+# -------------------------------------------------------------------- INNT
+
+def convert_innt(sd: SD) -> dict:
+    """Reference INNT `GPPNN` state_dict (reference INNT.py:370-404)
+    -> flax GPPNNINNT params. DenseBlocks here are the 2-HIN-block
+    variant (reference INNT.py:235-253)."""
+    table = {}
+    for t_leaf, f_leaf in (("conv_process.convms", "convms"),
+                           ("conv_process.convpan", "convpan"),
+                           ("conv_fusion.conv", "conv_fusion"),
+                           ("transform_fusion.fuse.conv_trans.0",
+                            "transform_fusion/fuse/trans0"),
+                           ("transform_fusion.fuse.conv_trans.2",
+                            "transform_fusion/fuse/trans1")):
+        table.update({
+            f"{t_leaf}.weight": (f"{f_leaf}/Conv_0/kernel", _conv),
+            f"{t_leaf}.bias": (f"{f_leaf}/Conv_0/bias", lambda x: x),
+        })
+    for i in range(3):
+        t_op = f"extract.operations.{i}"
+        f_op = f"inv_{i}"
+        table.update(_invconv(f"{t_op}.invconv", f"{f_op}/invconv"))
+        for sub in ("F", "G", "H"):
+            table.update(_hin_block(f"{t_op}.{sub}.conv1",
+                                    f"{f_op}/{sub}/conv1"))
+            table.update(_hin_block(f"{t_op}.{sub}.conv2",
+                                    f"{f_op}/{sub}/conv2"))
+    table.update({
+        "extract.fuse.weight": ("extract_fuse/Conv_0/kernel", _conv),
+        "extract.fuse.bias": ("extract_fuse/Conv_0/bias", lambda x: x),
+    })
+    table.update(_refine("refine", "refine", n_ca=1))
+    out: dict = {}
+    _apply_table(sd, table, out, "INNT")
+    return out
+
+
+# ------------------------------------------------------------------- MDCUN
+
+def _prelu(val: Array) -> Array:
+    """torch nn.PReLU weight (1,) -> scalar alpha."""
+    return np.asarray(val).reshape(())
+
+
+def convert_mdcun(sd: SD) -> dict:
+    """Reference `pan_unfolding` state_dict (reference MDCUN.py:311-419)
+    -> flax PanUnfolding params. The reference always creates `conv1x1`
+    but only uses it for >4-band inputs (MDCUN.py:385-388); for 4-band
+    models its keys are dropped (no flax counterpart)."""
+    ms_chans = sd["conv1x1.weight"].shape[0]
+    table = {}
+    for t_leaf, f_leaf in (("conv_up.body.0", "conv_up/body"),
+                           ("conv_up.tail.1", "conv_up/tail0"),
+                           ("conv_up.tail.2", "conv_up/tail1"),
+                           ("conv_down.body.0", "conv_down/body"),
+                           ("conv_down.tail.1", "conv_down/tail0"),
+                           ("conv_down.tail.2", "conv_down/tail1"),
+                           ("hf_pan", "hf_pan")):
+        table.update({
+            f"{t_leaf}.weight": (f"{f_leaf}/Conv_0/kernel", _conv),
+            f"{t_leaf}.bias": (f"{f_leaf}/Conv_0/bias", lambda x: x),
+        })
+    if ms_chans > 4:
+        table.update({
+            "conv1x1.weight": ("conv1x1/Conv_0/kernel", _conv),
+            "conv1x1.bias": ("conv1x1/Conv_0/bias", lambda x: x),
+        })
+    else:
+        table["conv1x1.weight"] = (None, None)
+        table["conv1x1.bias"] = (None, None)
+    # stage memory convs + scalars
+    for i in range(4):
+        for j in range(2):
+            table.update({
+                f"conv_u.{i}.{j}.weight":
+                    (f"conv_u_{i}_{j}/Conv_0/kernel", _conv),
+                f"conv_u.{i}.{j}.bias":
+                    (f"conv_u_{i}_{j}/Conv_0/bias", lambda x: x),
+            })
+        for nm in ("u", "eta", "gama", "delta"):
+            table[f"{nm}.{i}"] = (f"{nm}_{i}", _prelu)
+    # att_spatial: block.0 = ConvBlock(bias=False) head, block.1..3 =
+    # ResnetBlocks (biased convs — see models/mdcun.py _ResnetBlock note)
+    table["rm1.block.0.conv.weight"] = ("rm1/head/Conv_0/kernel", _conv)
+    table["rm1.block.0.act.weight"] = ("rm1/head_act/alpha", _prelu)
+    for i in range(3):
+        t_res = f"rm1.block.{i + 1}"
+        f_res = f"rm1/res_{i}"
+        table.update({
+            f"{t_res}.conv1.weight": (f"{f_res}/conv1/Conv_0/kernel", _conv),
+            f"{t_res}.conv1.bias": (f"{f_res}/conv1/Conv_0/bias", lambda x: x),
+            f"{t_res}.conv2.weight": (f"{f_res}/conv2/Conv_0/kernel", _conv),
+            f"{t_res}.conv2.bias": (f"{f_res}/conv2/Conv_0/bias", lambda x: x),
+            f"{t_res}.act.weight": (f"{f_res}/act/alpha", _prelu),
+        })
+        # the reference ResnetBlock registers the same conv/act tensors
+        # a second time inside its `layers` Sequential
+        # (MDCUN.py:297-302) — aliased keys, skip
+        for alias in ("layers.0.weight", "layers.0.bias", "layers.1.weight",
+                      "layers.2.weight", "layers.2.bias", "layers.3.weight"):
+            table[f"{t_res}.{alias}"] = (None, None)
+    table["rm1.spatial.conv.weight"] = ("rm1/spatial/Conv_0/kernel", _conv)
+    table["rm1.spatial.act.weight"] = ("rm1/spatial_act/alpha", _prelu)
+    # non-local 1x1 projections: raw [1,1,C,C] params
+    for nm in ("t", "p", "g", "w"):
+        table[f"NLBlock.{nm}.weight"] = (f"nl/{nm}", _conv)
+    out: dict = {}
+    for key, val in sd.items():
+        if key not in table:
+            raise KeyError(f"unmapped MDCUN key: {key}")
+        path, tf = table[key]
+        if path is None:
+            continue
+        _set(out, path, tf(val))
+    return out
+
+
 # --------------------------------------------------------------- PanFormer
 
 def _linear(w: Array) -> Array:
@@ -337,6 +665,10 @@ CONVERTERS: Dict[str, Callable[[SD], dict]] = {
     "UnlgFormer": convert_lgteun,
     "lightnet": convert_lightnet,
     "PanFormer": convert_panformer,
+    "SFIIN": convert_sfiin,
+    "MutInf": convert_mutinf,
+    "INNT": convert_innt,
+    "MDCUN": convert_mdcun,
 }
 
 

@@ -46,11 +46,15 @@ class _PReLU(nn.Module):
 
 
 class _ResnetBlock(nn.Module):
-    """conv-prelu-conv-prelu, scaled residual (reference
-    MDCUN.py:254-311; norm=None, scale=0.1, shared PReLU)."""
+    """conv-prelu-conv-prelu residual (reference MDCUN.py:254-311;
+    norm=None, shared PReLU). NOTE the reference instantiates it as
+    `ResnetBlock(32, 3, 1, 1, 0.1, ...)` (MDCUN.py:185) where the 0.1
+    lands positionally on *bias* (truthy -> biased convs), NOT on
+    scale — so the residual scale is the default 1.0. Verified by
+    weight-transplant parity (tests/test_torch_parity.py)."""
 
     features: int = 32
-    scale: float = 0.1
+    scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):

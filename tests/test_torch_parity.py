@@ -148,3 +148,105 @@ def test_panformer_forward_parity(ref_models, rng, c):
     params = convert_state_dict("PanFormer", _sd_numpy(ref))
     _transplant_and_compare(model, params, ms_x, pan_x, want, 5e-4,
                             f"PanFormer c={c}")
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_sfiin_forward_parity(ref_models, rng, c):
+    """SFIIN (reference SFIIN.py:317-340): InvBlock coupling + LU
+    invertible 1x1 + rfft2 amp/phase fusion + channel attention."""
+    from lgteun_tpu.convert import convert_state_dict
+    from lgteun_tpu.models.sfiin import SFIINNet
+
+    from models.SFIIN import Net
+
+    torch.manual_seed(5)
+    np.random.seed(5)  # reference InvertibleConv1x1 inits via np.random
+    ref = Net(cfg=reference_config(ms_chans=c), logger=None).eval()
+    ms_x, pan_x = _np_inputs(rng, c, b=1)
+    with torch.no_grad():
+        want = ref(_to_torch_nchw(ms_x), _to_torch_nchw(pan_x))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    model = SFIINNet(ms_chans=c)
+    params = convert_state_dict("SFIIN", _sd_numpy(ref))
+    _transplant_and_compare(model, params, ms_x, pan_x, want, 5e-4,
+                            f"SFIIN c={c}")
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_mutinf_forward_parity(ref_models, rng, c):
+    """MutInf GPPNN (reference MutInf.py:313-345): CDC edge extractors,
+    multi-scale HIN dense coupling, Refine2 tail. Compares the HR
+    output (first element of the (HR, panf, mHRf) tuple)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.convert import convert_state_dict
+    from lgteun_tpu.models.mutinf import GPPNNMutInf
+
+    from models.MutInf import GPPNN
+
+    torch.manual_seed(13)
+    np.random.seed(13)  # InvertibleConv1x1 LU init uses np.random
+    ref = GPPNN(cfg=reference_config(ms_chans=c), logger=None).eval()
+    ms_x, pan_x = _np_inputs(rng, c, b=1)
+    with torch.no_grad():
+        want, _, _ = ref(_to_torch_nchw(ms_x), _to_torch_nchw(pan_x))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    model = GPPNNMutInf(ms_chans=c)
+    params = convert_state_dict("MutInf", _sd_numpy(ref))
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(ms_x[:1]),
+                      jnp.asarray(pan_x[:1]))["params"]
+    assert (jax.tree_util.tree_structure(init)
+            == jax.tree_util.tree_structure(jax.tree.map(jnp.asarray, params)))
+    got, _, _ = model.apply({"params": params}, jnp.asarray(ms_x),
+                            jnp.asarray(pan_x), deterministic=True)
+    _assert_close(got, want, 5e-4, f"MutInf c={c}")
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_innt_forward_parity(ref_models, rng, c):
+    """INNT/CTINN (reference INNT.py:370-404): patch-match texture
+    transformer (incl. the unfold layout-scramble quirk), HIN coupling
+    InvBlocks, Refine1 tail."""
+    from lgteun_tpu.convert import convert_state_dict
+    from lgteun_tpu.models.innt import GPPNNINNT
+
+    from models.INNT import GPPNN
+
+    torch.manual_seed(17)
+    np.random.seed(17)
+    ref = GPPNN(cfg=reference_config(ms_chans=c), logger=None).eval()
+    ms_x, pan_x = _np_inputs(rng, c, b=1)
+    with torch.no_grad():
+        want = ref(_to_torch_nchw(ms_x), _to_torch_nchw(pan_x))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    model = GPPNNINNT(ms_chans=c)
+    params = convert_state_dict("INNT", _sd_numpy(ref))
+    _transplant_and_compare(model, params, ms_x, pan_x, want, 5e-4,
+                            f"INNT c={c}")
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_mdcun_forward_parity(ref_models, rng, c):
+    """MDCUN (reference MDCUN.py:311-419): memory-augmented unfolding,
+    per-band spatial attention, 15x15 neighborhood non-local block,
+    learned up/down resamplers, per-stage scalars."""
+    from lgteun_tpu.convert import convert_state_dict
+    from lgteun_tpu.models.mdcun import PanUnfolding
+
+    from models.MDCUN import pan_unfolding
+
+    torch.manual_seed(23)
+    ref = pan_unfolding(cfg=reference_config(ms_chans=c), logger=None).eval()
+    ms_x, pan_x = _np_inputs(rng, c, b=1)
+    with torch.no_grad():
+        want = ref(_to_torch_nchw(ms_x), _to_torch_nchw(pan_x))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    model = PanUnfolding(ms_chans=c)
+    params = convert_state_dict("MDCUN", _sd_numpy(ref))
+    _transplant_and_compare(model, params, ms_x, pan_x, want, 1e-3,
+                            f"MDCUN c={c}")
