@@ -334,6 +334,19 @@ def convert_sfiin(sd: SD) -> dict:
     return out
 
 
+# ---------------------------------------------------------------- VGG feat
+
+def convert_vgg_feat(features_sd: SD) -> dict:
+    """torchvision `vgg19().features.state_dict()` -> flax VGGFeat
+    params (reference modules.py:182-223 uses features[0:12]; only the
+    five convs at indices 0/2/5/7/10 carry weights)."""
+    out: dict = {}
+    for idx in (0, 2, 5, 7, 10):
+        _set(out, f"conv{idx}/Conv_0/kernel", _conv(features_sd[f"{idx}.weight"]))
+        _set(out, f"conv{idx}/Conv_0/bias", features_sd[f"{idx}.bias"])
+    return out
+
+
 # ------------------------------------------------------------------ MutInf
 
 def _hin_block(t_prefix: str, f_prefix: str) -> dict:

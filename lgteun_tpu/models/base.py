@@ -75,7 +75,17 @@ class Method:
 
 
 class FlaxMethod(Method):
-    """Method backed by a single flax core module taking (ms, pan)."""
+    """Method backed by a single flax core module taking (ms, pan).
+
+    Adversarial training (reference losses.py:43-138 `AdversarialLoss`
+    + models/common/modules.py discriminators): any config whose
+    `loss_cfg` contains an `*adv_loss*` entry with weight != 0 gets a
+    `discriminator` module (type/kwargs from
+    `model_cfg['discriminator']`, default a PatchGAN with instance
+    norm) as a second optimised module. The Runner then builds an
+    alternating two-optimiser train step (D on `gan_d_loss`, then G
+    against the *updated* D — same ordering as the reference, which
+    steps D inside the loss forward before computing the G term)."""
 
     def make_module(self):
         raise NotImplementedError
@@ -83,6 +93,41 @@ class FlaxMethod(Method):
     def __init__(self, cfg: Config):
         super().__init__(cfg)
         self.module = self.make_module()
+        self.adv_name = None
+        self.adv_cfg = None
+        self.disc_module = None
+        for name, lcfg in build_loss_weights(cfg.loss_cfg).items():
+            if "adv_loss" in name:
+                self.adv_name, self.adv_cfg = name, lcfg
+                self.disc_module = self._make_discriminator()
+                self.module_names = tuple(self.module_names) + (
+                    "discriminator",)
+                break
+
+    def _make_discriminator(self):
+        from lgteun_tpu.models.common.discriminators import (
+            PatchDiscriminator,
+            PixelDiscriminator,
+            VGGDiscriminator,
+        )
+
+        dcfg = dict(self.cfg.model_cfg.get("discriminator", {}))
+        kind = dcfg.pop("type", "PatchDiscriminator")
+        table = {"PatchDiscriminator": PatchDiscriminator,
+                 "PixelDiscriminator": PixelDiscriminator,
+                 "VGGDiscriminator": VGGDiscriminator}
+        if kind not in table:
+            raise KeyError(
+                f"no such discriminator {kind!r}; available: "
+                f"{sorted(table)}")
+        if kind != "VGGDiscriminator":
+            # default IN: stateless (no running stats), jit-friendly
+            dcfg.setdefault("norm_type", "IN")
+        return table[kind](**dcfg)
+
+    def d_apply(self, d_params, x):
+        """Discriminator forward on fused images [B,H,W,C] -> logits."""
+        return self.disc_module.apply({"params": d_params}, x)
 
     def init_params(self, rng, sample_hw=None) -> Params:
         c = self.cfg.ms_chans
@@ -90,7 +135,12 @@ class FlaxMethod(Method):
         ms = jnp.zeros((1, ms_size, ms_size, c), jnp.float32)
         pan = jnp.zeros((1, pan_size, pan_size, 1), jnp.float32)
         variables = self.module.init(rng, ms, pan)
-        return {"core_module": variables["params"]}
+        params = {"core_module": variables["params"]}
+        if self.disc_module is not None:
+            d_rng = jax.random.fold_in(rng, 1)
+            hr = jnp.zeros((1, pan_size, pan_size, c), jnp.float32)
+            params["discriminator"] = self.disc_module.init(d_rng, hr)["params"]
+        return params
 
     def apply(self, params, batch, *, train=False, rng=None):
         kwargs = {}

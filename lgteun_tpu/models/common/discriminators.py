@@ -10,10 +10,12 @@ component parity so adv_loss configs work end-to-end).
 - `MeanShift` (reference modules.py:169-180) as a pure function.
 - `SFTLayer` (reference modules.py:263-276).
 
-The reference's `VGG_Discriminator`/`VGG_Feat` depend on a
-torchvision-pretrained VGG19; no pretrained VGG ships in this
-environment, so those stay unimplemented by design (configs requesting
-them raise a clear error).
+- `VGGDiscriminator` (reference modules.py:225-262) — trained from
+  scratch, fully functional.
+- `VGGFeat` (reference modules.py:182-223) — the module structure with
+  random init; real torchvision vgg19 weights transplant via
+  `convert.torch_import.convert_vgg_feat` when available (none ship in
+  this environment).
 
 BatchNorm is implemented in inference-normalisation-free form (flax
 BatchNorm with running stats) — discriminators train with
@@ -27,8 +29,9 @@ import jax.numpy as jnp
 
 from lgteun_tpu.models.common.layers import Conv
 
-__all__ = ["PixelDiscriminator", "PatchDiscriminator", "ResBlock",
-           "ResChAttnBlock", "SFTLayer", "mean_shift"]
+__all__ = ["PixelDiscriminator", "PatchDiscriminator", "VGGDiscriminator",
+           "VGGFeat", "ResBlock", "ResChAttnBlock", "SFTLayer",
+           "mean_shift"]
 
 
 def _norm(norm_type: str | None, name: str):
@@ -37,7 +40,8 @@ def _norm(norm_type: str | None, name: str):
     if norm_type == "BN":
         return nn.BatchNorm(use_running_average=False, name=name)
     if norm_type == "IN":
-        return nn.GroupNorm(group_size=1, name=name)  # instance norm
+        # instance norm == GroupNorm with one channel per group
+        return nn.GroupNorm(num_groups=None, group_size=1, name=name)
     raise ValueError(f"no such norm layer: {norm_type!r}")
 
 
@@ -162,3 +166,62 @@ def mean_shift(x, rgb_range, rgb_mean, rgb_std, sign=-1):
     mean = jnp.asarray(rgb_mean, x.dtype)
     std = jnp.asarray(rgb_std, x.dtype)
     return x / std + sign * rgb_range * mean / std
+
+
+class VGGDiscriminator(nn.Module):
+    """VGG-style discriminator (reference modules.py:225-262). Trained
+    from scratch in the reference too — no pretrained weights involved;
+    10 stride-alternating 3x3 convs then a 2-layer MLP head. `in_size`
+    must match the (square) input so the flatten is static."""
+
+    in_size: int = 160
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [32, 32, 64, 64, 128, 128, 256, 256, 512, 512]
+        for i, f in enumerate(feats):
+            stride = 2 if i % 2 == 1 else 1
+            x = Conv(f, (3, 3), strides=(stride, stride),
+                     name=f"conv{i}")(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(1024, name="fc0")(x)
+        x = nn.leaky_relu(x, 0.2)
+        return nn.Dense(1, name="fc1")(x)
+
+
+class VGGFeat(nn.Module):
+    """VGG19 feature slices for perceptual losses (reference
+    modules.py:182-223: torchvision vgg19 `features[0:12]` split at
+    relu1_1 / relu2_1 / relu3_1, preceded by the ImageNet MeanShift).
+
+    The reference loads torchvision's pretrained weights; none ship in
+    this environment, so parameters initialise randomly (torch conv
+    default) and real VGG19 weights can be transplanted with
+    `lgteun_tpu.convert.torch_import.convert_vgg_feat` from any
+    torchvision `vgg19().features.state_dict()`. Returns the three
+    feature levels (x_lv1, x_lv2, x_lv3)."""
+
+    rgb_range: float = 1.0
+    shift_enable: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.shift_enable:
+            vgg_mean = (0.485, 0.456, 0.406)
+            vgg_std = tuple(s * self.rgb_range
+                            for s in (0.229, 0.224, 0.225))
+            x = mean_shift(x, self.rgb_range, vgg_mean, vgg_std)
+        # torchvision vgg19.features indices: 0,2 conv64; 5 conv128;
+        # 7 conv128; 10 conv256 (maxpools at 4 and 9)
+        x = nn.relu(Conv(64, (3, 3), name="conv0")(x))
+        lv1 = x
+        x = nn.relu(Conv(64, (3, 3), name="conv2")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(Conv(128, (3, 3), name="conv5")(x))
+        lv2 = x
+        x = nn.relu(Conv(128, (3, 3), name="conv7")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(Conv(256, (3, 3), name="conv10")(x))
+        lv3 = x
+        return lv1, lv2, lv3

@@ -183,6 +183,8 @@ class Runner:
 
     def _build_train_step(self):
         method, txs = self.method, self._txs
+        if getattr(method, "adv_cfg", None) is not None:
+            return self._build_adversarial_train_step()
 
         def step(params, opt_states, batch, rng, iter_id):
             def loss_fn(p):
@@ -197,6 +199,69 @@ class Runner:
                 updates, new_opt[mod] = txs[mod].update(
                     grads[mod], opt_states[mod], params[mod])
                 new_params[mod] = optax.apply_updates(params[mod], updates)
+            return new_params, new_opt, parts
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_adversarial_train_step(self):
+        """Alternating two-optimiser GAN step (reference
+        losses.py:68-137 `AdversarialLoss.forward`: one D step on
+        detached fake/real, then the G term against the UPDATED D).
+        Expressed as one jitted function — the D update and the G
+        update are sequenced inside a single XLA program, so the whole
+        iteration is still one dispatch."""
+        from lgteun_tpu.losses import gan_d_loss, gan_g_loss
+
+        method, txs = self.method, self._txs
+        adv = method.adv_cfg
+        gan_type, adv_w, gp_w = adv.type, adv.w, adv.gp_w
+
+        def step(params, opt_states, batch, rng, iter_id):
+            rng_fwd, rng_d = jax.random.split(rng)
+            g_params = {m: p for m, p in params.items()
+                        if m != "discriminator"}
+            d_params = params["discriminator"]
+
+            # --- D update on detached generator output ---------------
+            fake = jax.lax.stop_gradient(
+                method.apply(params, batch, train=True, rng=rng_fwd))
+            real = batch["target"]
+
+            def d_loss_fn(pd):
+                return gan_d_loss(method.d_apply, pd, fake, real,
+                                  gan_type, rng=rng_d, gp_w=gp_w)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            d_updates, d_opt = txs["discriminator"].update(
+                d_grads, opt_states["discriminator"], d_params)
+            new_d = optax.apply_updates(d_params, d_updates)
+
+            # --- G update against the updated D -----------------------
+            def g_loss_fn(pg):
+                p_full = dict(pg)
+                p_full["discriminator"] = new_d
+                total, parts = method.losses(p_full, batch, rng=rng_fwd,
+                                             iter_id=iter_id)
+                # identical forward as inside losses -> XLA CSEs it
+                out = method.apply(p_full, batch, train=True, rng=rng_fwd)
+                g_adv = gan_g_loss(method.d_apply, new_d, out, gan_type)
+                total = total + adv_w * g_adv
+                # reference logs the pair as (G:..., D:...)
+                # (base_model.py:247-249); flat scalars here
+                parts[f"{method.adv_name}_G"] = g_adv
+                parts[f"{method.adv_name}_D"] = d_loss
+                parts["full_loss"] = total
+                return total, parts
+
+            (_, parts), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_params)
+            new_params, new_opt = {}, {}
+            for mod in g_params:
+                updates, new_opt[mod] = txs[mod].update(
+                    g_grads[mod], opt_states[mod], g_params[mod])
+                new_params[mod] = optax.apply_updates(g_params[mod], updates)
+            new_params["discriminator"] = new_d
+            new_opt["discriminator"] = d_opt
             return new_params, new_opt, parts
 
         return jax.jit(step, donate_argnums=(0, 1))

@@ -250,3 +250,51 @@ def test_mdcun_forward_parity(ref_models, rng, c):
     params = convert_state_dict("MDCUN", _sd_numpy(ref))
     _transplant_and_compare(model, params, ms_x, pan_x, want, 1e-3,
                             f"MDCUN c={c}")
+
+
+def test_convert_torch_ckpt_script_roundtrip(ref_models, rng, tmp_path):
+    """scripts/convert_torch_ckpt.py: reference-format checkpoint
+    (pickled whole nn.Modules + iter_num, reference
+    base_model.py:354-369) -> orbax -> Runner.load_pretrained -> same
+    forward as the torch model."""
+    import logging
+    import subprocess
+    import sys as _sys
+
+    import jax.numpy as jnp
+
+    from lgteun_tpu.config import Config, LossCfg
+    from lgteun_tpu.registry import build_model
+    from lgteun_tpu.runner import Runner
+
+    from models.lightnet import LightNet
+
+    torch.manual_seed(29)
+    ref = LightNet(cfg=reference_config(ms_chans=4), logger=None).eval()
+    pth = tmp_path / "model_iter_123.pth"
+    torch.save({"core_module": ref, "iter_num": 123}, str(pth))
+
+    out_dir = tmp_path / "converted"
+    res = subprocess.run(
+        [_sys.executable, "scripts/convert_torch_ckpt.py",
+         "--model-type", "lightnet", "--torch-ckpt", str(pth),
+         "--out", str(out_dir)],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+
+    cfg = Config(model_type="lightnet", ms_chans=4,
+                 loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)})
+    method = build_model(cfg.model_type, cfg)
+    runner = Runner(cfg, method, logger=logging.getLogger("conv"))
+    runner.init()
+    runner.load_pretrained(str(out_dir))
+    assert runner.last_iter == 0  # pretrained: weights only
+
+    ms_x, pan_x = _np_inputs(rng, 4, b=1)
+    with torch.no_grad():
+        want = ref(_to_torch_nchw(ms_x), _to_torch_nchw(pan_x))
+    want = want.numpy().transpose(0, 2, 3, 1)
+    got = method.apply(runner.params,
+                       {"input_lr": jnp.asarray(ms_x),
+                        "input_pan": jnp.asarray(pan_x)})
+    _assert_close(got, want, 1e-4, "converted lightnet ckpt")
