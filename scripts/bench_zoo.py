@@ -84,6 +84,13 @@ def main():
             t1 = min(run(2) for _ in range(2))
             t2 = min(run(8) for _ in range(2))
             dt = (t2 - t1) / 6 / b  # seconds per image
+            if dt * b < 2e-3:
+                # sub-2ms/batch methods (classical ops) are below the
+                # two-point harness's resolution — rerun with a longer
+                # on-device loop
+                t1 = min(run(8) for _ in range(2))
+                t2 = min(run(208) for _ in range(2))
+                dt = (t2 - t1) / 200 / b
             mps = 16384 / dt / 1e6
             ref = REF_S_PER_IMG.get(name)
             speedup = f"{ref / dt:7.1f}x" if ref else "      —"

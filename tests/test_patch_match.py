@@ -82,3 +82,35 @@ def test_gradients(rng):
     g2 = jax.grad(lambda a: jnp.sum(patch_match_xla(a, ref_n, ref_u)[0]
                                     ** 2))(lr_n)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_fold_patches_blocked_matches_adjoint(rng):
+    """The (k/s)^2 block-decomposed fold must equal the VJP-adjoint fold
+    (torch F.fold semantics) for INNT's 24/8 and 3/1 configurations."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.ops.patches import (
+        _fold_patches_blocked,
+        extract_patches,
+    )
+
+    for (hw, c, k, s, p) in [((128, 128), 4, 24, 8, 8),
+                             ((24, 24), 4, 3, 1, 1),
+                             ((32, 32), 3, 8, 4, 2),
+                             ((16, 16), 2, 4, 4, 0)]:
+        h, w = hw
+        oh = (h + 2 * p - k) // s + 1
+        ow = (w + 2 * p - k) // s + 1
+        patches = jnp.asarray(
+            rng.uniform(-1, 1, (2, oh * ow, c * k * k)).astype(np.float32))
+
+        def extract(img):
+            return extract_patches(img, k, s, p)
+
+        zero = jnp.zeros((2, h, w, c), jnp.float32)
+        _, vjp = jax.vjp(extract, zero)
+        want = vjp(patches)[0]
+        got = _fold_patches_blocked(patches, hw, c, k, s, p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)

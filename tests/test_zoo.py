@@ -97,3 +97,29 @@ def test_invnet_zoo_forward(name):
     m = _make(name, c=4)
     train = name in ("SFIIN",)
     _roundtrip(m, c=4, train=train)
+
+
+def test_lightnet_fast_forward_matches_flax(rng):
+    """The NCHW inference fast path (models/lightnet.py
+    lightnet_fast_forward) is a layout change, not a different model:
+    in f32 it must match the flax NHWC module."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.models.lightnet import (
+        LightNetModule,
+        lightnet_fast_forward,
+    )
+
+    for c in (4, 8):
+        m = LightNetModule(ms_chans=c)
+        ms = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, c)).astype(np.float32))
+        pan = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 1)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), ms, pan)["params"]
+        want = m.apply({"params": params}, ms, pan)
+        got = lightnet_fast_forward(params, ms, pan, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        # bf16 mode stays close on [0,1] data (documented delta)
+        got16 = lightnet_fast_forward(params, ms, pan, dtype=jnp.bfloat16)
+        assert float(jnp.max(jnp.abs(got16 - want))) < 5e-3
