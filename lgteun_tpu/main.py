@@ -32,6 +32,18 @@ def set_random_seed(seed: int):
     np.random.seed(seed)
 
 
+def _apply_matmul_precision():
+    """LGTEUN_MATMUL_PRECISION={default,high,highest}: TPU f32 matmuls
+    default to one bf16 pass (~1e-2 output deviation vs CPU f32 through
+    LGTEUN's depth); parity-critical eval runs can force full-precision
+    passes at a throughput cost."""
+    prec = os.environ.get("LGTEUN_MATMUL_PRECISION")
+    if prec:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", prec)
+
+
 def make_logger(cfg: Config) -> logging.Logger:
     logger = logging.getLogger("lgteun")
     logger.setLevel(getattr(logging, cfg.log_level, logging.INFO))
@@ -67,6 +79,7 @@ def build_runner(cfg: Config, logger=None) -> Runner:
 
 def main(cfg: Config, logger: logging.Logger) -> Runner:
     set_random_seed(cfg.seed)
+    _apply_matmul_precision()
     runner = build_runner(cfg, logger)
     runner.init()
     if cfg.checkpoint:

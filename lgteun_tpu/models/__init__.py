@@ -5,6 +5,8 @@ Importing this package registers every method into the MODELS registry
 model files so their decorators run).
 """
 
+import jax
+
 from lgteun_tpu.config import Config
 from lgteun_tpu.models.base import ClassicalMethod, FlaxMethod
 from lgteun_tpu.models.classical import gsa_fuse, sfim_fuse, wavelet_fuse
@@ -16,12 +18,30 @@ __all__ = ["UnlgFormer", "GSA", "SFIM", "Wavelet"]
 
 @MODELS.register()
 class UnlgFormer(FlaxMethod):
-    """LGTEUN flagship (reference models/unlg_former.py:70-113)."""
+    """LGTEUN flagship (reference models/unlg_former.py:70-113).
+
+    TPU inference uses the channel-major fast path
+    (models/lgteun_fast.py; 112 -> 62 ms at the WV-3 bench shape,
+    identical math — LGTEUN_FAST=0 restores the flax module);
+    training and other backends use the module."""
 
     def make_module(self):
         g_cfg = dict(self.cfg.model_cfg.get("core_module", {}))
-        return _LGTEUNModule(ms_chans=self.cfg.ms_chans,
-                             stage=g_cfg.get("stage", 5))
+        self._stage = g_cfg.get("stage", 5)
+        return _LGTEUNModule(ms_chans=self.cfg.ms_chans, stage=self._stage)
+
+    def apply(self, params, batch, *, train=False, rng=None):
+        import os
+
+        if (not train and jax.default_backend() == "tpu"
+                and os.environ.get("LGTEUN_FAST", "1") == "1"):
+            from lgteun_tpu.models.lgteun_fast import lgteun_fast_forward
+
+            return lgteun_fast_forward(params["core_module"],
+                                       batch["input_lr"],
+                                       batch["input_pan"],
+                                       stage=self._stage)
+        return super().apply(params, batch, train=train, rng=rng)
 
 
 @MODELS.register()

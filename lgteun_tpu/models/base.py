@@ -142,14 +142,33 @@ class FlaxMethod(Method):
             params["discriminator"] = self.disc_module.init(d_rng, hr)["params"]
         return params
 
+    @staticmethod
+    def _eval_dtype():
+        """Inference autocast dtype: LGTEUN_EVAL_DTYPE=bf16 runs the
+        whole forward in bfloat16 (params + activations cast at entry,
+        output cast back to f32) — the TPU-native mixed-precision
+        serving mode. Default f32 (reference numerics)."""
+        import os
+
+        return (jnp.bfloat16
+                if os.environ.get("LGTEUN_EVAL_DTYPE") == "bf16"
+                else None)
+
     def apply(self, params, batch, *, train=False, rng=None):
         kwargs = {}
         if train and rng is not None:
             kwargs["rngs"] = {"dropout": rng}
-        return self.module.apply(
-            {"params": params["core_module"]},
-            batch["input_lr"], batch["input_pan"],
-            deterministic=not train, **kwargs)
+        core = params["core_module"]
+        lr, pan = batch["input_lr"], batch["input_pan"]
+        dtype = None if train else self._eval_dtype()
+        if dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            core, lr, pan = cast(core), cast(lr), cast(pan)
+        out = self.module.apply({"params": core}, lr, pan,
+                                deterministic=not train, **kwargs)
+        return out.astype(jnp.float32) if dtype is not None else out
 
 
 class ClassicalMethod(Method):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_ln_ffn", "ln_ffn_xla"]
+__all__ = ["fused_ln_ffn", "fused_ln_ffn_cm", "ln_ffn_xla"]
 
 
 def ln_ffn_xla(x, params, eps=1e-5):
@@ -139,19 +139,40 @@ def _fused_ln_ffn_bwd(res, g):
 fused_ln_ffn.defvjp(_fused_ln_ffn_fwd, _fused_ln_ffn_bwd)
 
 
+def fused_ln_ffn_cm(x_cm, params, *, eps: float = 1e-5):
+    """`fused_ln_ffn` for channel-major [B, C, H, W] input/output —
+    the layout the kernel uses internally, so the NHWC<->CM moveaxis
+    relayouts disappear (the channel-major LGT trunk's FFN entry).
+    Inference path (no custom_vjp; the NHWC wrapper covers training)."""
+    b, c, h, w = x_cm.shape
+    return _ffn_kernel_call(x_cm.reshape(b, c, h * w), b, h, w, c, params,
+                            eps=eps).reshape(b, c, h, w)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
 def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 32,
                        interpret: bool = False):
     """Kernel invocation (non-differentiable inner)."""
     b, h, w, c = x.shape
+    xc = jnp.moveaxis(x, -1, 1).reshape(b, c, h * w)
+    out = _ffn_kernel_call(xc, b, h, w, c, params, eps=eps,
+                           tile_rows=tile_rows, interpret=interpret)
+    return jnp.moveaxis(out.reshape(b, c, h, w), 1, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "h", "w", "c", "eps", "tile_rows",
+                                    "interpret"))
+def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
+                     tile_rows: int = 32, interpret: bool = False):
+    """Core pallas_call on channel-major [B, C, H*W] pixels."""
     c4 = params["w1"].shape[-1]
     th = tile_rows
     while h % th:
         th //= 2
 
-    # channel-major [B, C, H*W] (+1 zero row top/bottom in the padded
-    # copy used for halos); pixels ride on the lane axis
-    xc = jnp.moveaxis(x, -1, 1).reshape(b, c, h * w)
+    # +1 zero row top/bottom in the padded copy used for halos;
+    # pixels ride on the lane axis
     xp = jnp.pad(xc, [(0, 0), (0, 0), (w, w)])
 
     kernel = functools.partial(_kernel, th=th, w=w, c=c, c4=c4, h_img=h,
@@ -159,7 +180,7 @@ def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 32,
     col = lambda p: p.reshape(-1, 1)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, c, h * w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), xc.dtype),
         grid=(b, h // th),
         in_specs=[
             pl.BlockSpec((1, c, th * w), lambda bi, ti: (bi, 0, ti),
@@ -196,4 +217,4 @@ def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 32,
       params["w1"].T, col(params["b1"]), params["w2"].T, col(params["b2"]),
       params["dw"].reshape(9, c4).T, col(params["bdw"]),
       params["w3"].T, col(params["b3"]))
-    return jnp.moveaxis(out.reshape(b, c, h, w), 1, -1)
+    return out

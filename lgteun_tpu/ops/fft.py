@@ -135,6 +135,53 @@ def irfft2_pair(re: jnp.ndarray, im: jnp.ndarray, s, axes=(-3, -2),
     return _mm(wc, mid_re, -2) + _mm(ws, mid_im, -2)
 
 
+def _mm_cm(mat: np.ndarray, x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Apply [K, N] matrix along `axis` (-2 or -1) of channel-major
+    [..., H, W] arrays."""
+    m = jnp.asarray(mat, jnp.float32)
+    if axis == -2:
+        return jnp.einsum("kh,...hw->...kw", m, x, precision=_HP)
+    return jnp.einsum("kw,...hw->...hk", m, x, precision=_HP)
+
+
+def rfft2_pair_cm(x: jnp.ndarray,
+                  norm: str = "backward") -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`rfft2_pair` for channel-major [..., H, W] arrays (transform
+    axes (-2, -1)); same matmul-DFT real-pair semantics."""
+    assert norm == "backward"
+    if not use_matmul_dft():
+        fre = jnp.fft.rfft2(x, axes=(-2, -1), norm=norm)
+        return jnp.real(fre), jnp.imag(fre)
+    h, w = x.shape[-2], x.shape[-1]
+    xf = x.astype(jnp.float32)
+    wc, ws = _rdft_mats(w)
+    re = _mm_cm(wc, xf, -1)
+    im = _mm_cm(ws, xf, -1)
+    hc, hs = _dft_mats(h)
+    out_re = _mm_cm(hc, re, -2) - _mm_cm(hs, im, -2)
+    out_im = _mm_cm(hc, im, -2) + _mm_cm(hs, re, -2)
+    return out_re, out_im
+
+
+def irfft2_pair_cm(re: jnp.ndarray, im: jnp.ndarray, s,
+                   norm: str = "backward") -> jnp.ndarray:
+    """Inverse of `rfft2_pair_cm` (channel-major [..., H, W])."""
+    assert norm == "backward"
+    if not use_matmul_dft():
+        return jnp.fft.irfft2(jax.lax.complex(re, im), s=s, axes=(-2, -1),
+                              norm=norm)
+    h, w = s
+    re = re.astype(jnp.float32)
+    im = im.astype(jnp.float32)
+    hc, hs = _dft_mats(h)
+    inv_c = hc.T / h
+    inv_s = -hs.T / h
+    mid_re = _mm_cm(inv_c, re, -2) - _mm_cm(inv_s, im, -2)
+    mid_im = _mm_cm(inv_c, im, -2) + _mm_cm(inv_s, re, -2)
+    wc, ws = _irdft_mats(w)
+    return _mm_cm(wc, mid_re, -1) + _mm_cm(ws, mid_im, -1)
+
+
 def rfft2(x: jnp.ndarray, axes=(-3, -2), norm: str = "backward") -> jnp.ndarray:
     """Complex-returning wrapper (CPU/GPU convenience; avoid on TPU)."""
     re, im = rfft2_pair(x, axes, norm)

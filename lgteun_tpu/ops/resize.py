@@ -168,6 +168,22 @@ def downsample(x: jnp.ndarray, factor: int = 4, mode: str = "bicubic",
     return fn(x, (h // factor, w // factor), align_corners)
 
 
+def sample_scale_cm(x: jnp.ndarray, s_factor: float,
+                    mode: str = "bicubic") -> jnp.ndarray:
+    """`sample_scale` for channel-major [..., H, W] arrays."""
+    h, w = x.shape[-2], x.shape[-1]
+    out_hw = (int(np.floor(h * s_factor)), int(np.floor(w * s_factor)))
+    mh = resize_matrix(h, out_hw[0], mode, False)
+    mw = resize_matrix(w, out_hw[1], mode, False)
+    dt = x.dtype
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,...hw->...ow", jnp.asarray(mh, jnp.float32),
+                   x.astype(jnp.float32), precision=hp)
+    y = jnp.einsum("pw,...ow->...op", jnp.asarray(mw, jnp.float32), y,
+                   precision=hp)
+    return y.astype(dt)
+
+
 def sample_scale(x: jnp.ndarray, s_factor: float, mode: str = "bicubic") -> jnp.ndarray:
     """LGTEUN's `sampling_` / `sampling_unit_`: scale-factor resize with
     align_corners=False (reference:

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_window_attention", "window_attention_xla"]
+__all__ = ["fused_window_attention", "fused_window_attention_v2_cm",
+           "window_attention_xla"]
 
 
 def window_attention_xla(xw, wqkv, bqkv, pos, heads, scale):
@@ -150,7 +151,19 @@ fused_window_attention_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
 def _fused_v2_impl(xw, wqkv, bqkv, pos, *, heads: int,
                    scale: float, interpret: bool = False):
     """Kernel invocation (non-differentiable inner)."""
-    n, s, c = xw.shape
+    xt = xw.transpose(0, 2, 1)  # [N, C, S]
+    out = fused_window_attention_v2_cm(xt, wqkv, bqkv, pos, heads=heads,
+                                       scale=scale, interpret=interpret)
+    return out.transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def fused_window_attention_v2_cm(xt, wqkv, bqkv, pos, *, heads: int,
+                                 scale: float, interpret: bool = False):
+    """Channel-major entry: xt [N, C, S] windows -> [N, C, S] — the
+    kernel's native layout, no transposes (used by the channel-major
+    LGT trunk)."""
+    n, c, s = xt.shape
     wpb = 1
     # larger window blocks amortise per-program overhead (measured
     # 3.25 -> 2.54 ms at production size going 8 -> 64); 128 exceeds VMEM
@@ -159,14 +172,13 @@ def _fused_v2_impl(xw, wqkv, bqkv, pos, *, heads: int,
             wpb = cand
             break
 
-    xt = xw.transpose(0, 2, 1)  # [N, C, S]
     w_b = jnp.broadcast_to(wqkv.T[None], (wpb, 3 * c, c))
 
     kernel = functools.partial(_kernel_v2, heads=heads, seq=s, wpb=wpb,
                                scale=scale)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, c, s), xw.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, c, s), xt.dtype),
         grid=(n // wpb,),
         in_specs=[
             pl.BlockSpec((wpb, c, s), lambda i: (i, 0, 0),
@@ -182,7 +194,7 @@ def _fused_v2_impl(xw, wqkv, bqkv, pos, *, heads: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret or jax.default_backend() != "tpu",
     )(xt, w_b, bqkv.reshape(3 * c, 1), pos)
-    return out.transpose(0, 2, 1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))

@@ -91,3 +91,24 @@ def test_overfits_single_batch(rng):
     for _ in range(60):
         params2, opt_state, l = step(params2, opt_state)
     assert float(l) < 0.3 * float(l0), (float(l0), float(l))
+
+
+def test_fast_forward_matches_module(rng):
+    """The channel-major fast path (models/lgteun_fast.py) is a layout
+    change, not a different model: f32 CPU outputs must match the flax
+    module to float tolerance for both band counts and stages."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.models.lgteun import LGTEUN
+    from lgteun_tpu.models.lgteun_fast import lgteun_fast_forward
+
+    for c, stage in ((4, 1), (8, 2)):
+        model = LGTEUN(ms_chans=c, stage=stage)
+        ms = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, c)).astype(np.float32))
+        pan = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), ms, pan)["params"]
+        want = model.apply({"params": params}, ms, pan, deterministic=True)
+        got = lgteun_fast_forward(params, ms, pan, stage=stage)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
