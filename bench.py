@@ -32,16 +32,23 @@ REF_MPS = IMG_PIXELS / REF_SECONDS_PER_IMG / 1e6
 
 
 def main():
-    from lgteun_tpu.models.lgteun import LGTEUN
+    import lgteun_tpu.models  # noqa: F401  (register methods)
+    from lgteun_tpu.config import Config, LossCfg
+    from lgteun_tpu.registry import build_model
 
     batch = 96
     c = 8
     n_iters = 10
-    model = LGTEUN(ms_chans=c, stage=2)
+    # measure the SHIPPED inference path: the UnlgFormer Method, which
+    # dispatches to the channel-major fast forward on TPU
+    cfg = Config(model_type="UnlgFormer", ms_chans=c,
+                 loss_cfg={"rec_loss": LossCfg()},
+                 model_cfg={"core_module": {"stage": 2}})
+    method = build_model("UnlgFormer", cfg)
     rng = np.random.default_rng(0)
     ms = jnp.asarray(rng.uniform(0, 1, (batch, 32, 32, c)), jnp.float32)
     pan = jnp.asarray(rng.uniform(0, 1, (batch, 128, 128, 1)), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), ms[:1], pan[:1])
+    params = method.init_params(jax.random.PRNGKey(0), (32, 128))
 
     # Honest timing on a tunneled TPU backend: per-dispatch round-trip
     # latency is large, so the iteration loop runs ON DEVICE via a
@@ -54,7 +61,7 @@ def main():
     def chained(p, ms_, pan_, n):
         def body(_, carry):
             ms_c, acc = carry
-            out = model.apply(p, ms_c, pan_)
+            out = method.apply(p, {"input_lr": ms_c, "input_pan": pan_})
             return ms_c + 1e-12 * jnp.mean(out), acc + jnp.mean(out)
 
         _, acc = jax.lax.fori_loop(0, n, body, (ms_, jnp.float32(0)))
