@@ -64,8 +64,19 @@ class Method:
         for name, lcfg in build_loss_weights(self.cfg.loss_cfg).items():
             if "rec_loss" in name:
                 value = reconstruction_loss(out, batch["target"], lcfg.type)
-                total = total + lcfg.w * value
-                parts[name] = value
+            elif "QNR_loss" in name:
+                # no-reference QNR loss (reference losses.py:141-153).
+                # pan_l=None -> bicubic x4 downsample to LrMS size, the
+                # reference's `down_sample(pan)` fallback (the dataset's
+                # `input_pan_l` is HALF-res and not usable here)
+                from lgteun_tpu.losses import qnr_loss
+
+                value = qnr_loss(batch["input_pan"], batch["input_lr"],
+                                 out)
+            else:
+                continue
+            total = total + lcfg.w * value
+            parts[name] = value
         parts["full_loss"] = total
         return total, parts
 

@@ -153,3 +153,37 @@ def test_vgg_discriminator_and_feat():
             == jax.tree_util.tree_structure(
                 jax.tree.map(jnp.asarray, loaded)))
     f.apply({"params": loaded}, jnp.ones((1, 32, 32, 3)))
+
+
+def test_qnr_loss_trains_through_runner():
+    """A config with a QNR_loss entry (reference losses.py:141-153 —
+    enableable in any config) trains without GT supervision weight on
+    that term and both losses appear in the breakdown."""
+    cfg = Config(
+        name="qnr_test", model_type="lightnet", datas="synthetic",
+        ms_chans=4, max_iter=2, save_freq=0, test_freq=0, eval_freq=0,
+        log_freq=1, norm_input=True,
+        train_set_cfg=LoaderCfg(batch_size=2),
+        optim_cfg={"core_module": OptimCfg(type="Adam", lr=1e-3)},
+        loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0),
+                  "QNR_loss": LossCfg(type="qnr", w=0.1)},
+    )
+    method = build_model(cfg.model_type, cfg)
+    import jax.numpy as jnp
+
+    ds = _ArrayDS()
+    batch = {k: jnp.asarray(np.stack([ds[0][k], ds[1][k]]))
+             for k in ("input_lr", "input_pan", "input_pan_l", "target")}
+    params = method.init_params(jax.random.PRNGKey(0), (8, 32))
+    total, parts = method.losses(params, batch,
+                                 rng=jax.random.PRNGKey(1))
+    assert "QNR_loss" in parts and "rec_loss" in parts
+    assert np.isfinite(float(total))
+    # gradient flows through the QNR term alone
+    qnr_only = Config(**{**cfg.__dict__,
+                         "loss_cfg": {"QNR_loss": LossCfg(type="qnr", w=1.0)}})
+    m2 = build_model(cfg.model_type, qnr_only)
+    g = jax.grad(lambda p: m2.losses(p, batch,
+                                     rng=jax.random.PRNGKey(1))[0])(params)
+    gmax = max(float(np.max(np.abs(x))) for x in jax.tree.leaves(g))
+    assert gmax > 0
