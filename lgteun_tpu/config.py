@@ -110,6 +110,10 @@ class Config:
     # TPU execution
     eval_batch_size: int = 16
     mesh_shape: dict[str, int] = field(default_factory=dict)  # e.g. {"data": 8}
+    # bf16 compute in the train step (f32 master params + optimiser
+    # state; params/batch cast per step, gradients arrive f32 through
+    # the cast). Documented caveats in README.
+    mixed_precision: bool = False
     extras: dict[str, Any] = field(default_factory=dict)
 
     def get(self, key, default=None):

@@ -98,21 +98,19 @@ def _kernel(x_body, x_top, x_bot, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
     h2 = jnp.where((grow >= 0) & (grow < h_img), h2, 0.0)
 
     # depthwise 3x3: H-shifts are W-aligned lane slices; W-shifts are
-    # lane rolls with row-boundary masks
-    col = lane_ids[:, : th * w] % w
+    # lane rolls with row-boundary masks. The two W-shifted copies are
+    # built ONCE on the full halo-extended buffer (the H-slices below
+    # are then plain lane-aligned reads), instead of per H-row — 6
+    # rolls+masks become 2.
+    col_all = lane_ids % w
+    h2_l = jnp.where(col_all == 0, 0.0, pltpu.roll(h2, 1, 1))
+    h2_r = jnp.where(col_all == w - 1, 0.0, pltpu.roll(h2, n_all - 1, 1))
     acc = jnp.zeros((c4, th * w), jnp.float32)
     for dr in range(3):
-        row_slice = h2[:, dr * w: dr * w + th * w]
-        for dc in range(3):
-            if dc == 0:
-                shifted = jnp.where(col == 0, 0.0,
-                                    pltpu.roll(row_slice, 1, 1))
-            elif dc == 2:
-                shifted = jnp.where(col == w - 1, 0.0,
-                                    pltpu.roll(row_slice, th * w - 1, 1))
-            else:
-                shifted = row_slice
-            acc = acc + shifted * dw[:, 3 * dr + dc][:, None]
+        lo = dr * w
+        hi = lo + th * w
+        for dc, buf in ((0, h2_l), (1, h2), (2, h2_r)):
+            acc = acc + buf[:, lo:hi] * dw[:, 3 * dr + dc][:, None]
     acc = _gelu_exact(acc + bdw[:])
 
     out = mm(w3t[:], acc, b3)  # [c, th*w]

@@ -185,12 +185,28 @@ class Runner:
         method, txs = self.method, self._txs
         if getattr(method, "adv_cfg", None) is not None:
             return self._build_adversarial_train_step()
+        mixed = bool(self.cfg.get("mixed_precision", False))
+
+        def cast16(t):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
 
         def step(params, opt_states, batch, rng, iter_id):
             def loss_fn(p):
-                total, parts = method.losses(p, batch, rng=rng,
+                b = batch
+                if mixed:
+                    # bf16 compute; master params stay f32 — the astype
+                    # is differentiable, so gradients flow back f32
+                    p = cast16(p)
+                    b = {k: (v.astype(jnp.bfloat16)
+                             if hasattr(v, "dtype")
+                             and jnp.issubdtype(v.dtype, jnp.floating)
+                             else v)
+                         for k, v in batch.items()}
+                total, parts = method.losses(p, b, rng=rng,
                                              iter_id=iter_id)
-                return total, parts
+                return total.astype(jnp.float32), parts
 
             (_, parts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)

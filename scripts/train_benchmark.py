@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mixed", action="store_true", help="bf16 compute train step")
     ap.add_argument("--out-dir", default="benchmarks")
     args = ap.parse_args()
 
@@ -83,6 +84,7 @@ def main() -> None:
                                gamma=0.85),
             loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)},
             eval_batch_size=8,
+            mixed_precision=args.mixed,
         )
         method = build_model(name, cfg)
         runner = Runner(cfg, method, train_ds=train_ds,
@@ -100,8 +102,10 @@ def main() -> None:
             "wall_s": round(wall, 1),
             "steps_per_sec": round(steps_per_sec, 2),
             "curves": curves,
+            "mixed_precision": args.mixed,
         }
-        out_path = os.path.join(args.out_dir, f"train_curve_{name}.json")
+        suffix = "_bf16" if args.mixed else ""
+        out_path = os.path.join(args.out_dir, f"train_curve_{name}{suffix}.json")
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
         psnr_curve = curves.get("reduced-res (ref)/psnr", [])

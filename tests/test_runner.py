@@ -174,3 +174,42 @@ def test_interrupt_resume_bit_identical(tmp_path, synth):
     assert len(want) == len(got)
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixed_precision_training(tmp_path):
+    """cfg.mixed_precision=True: bf16 compute with f32 master params —
+    loss decreases and params stay float32."""
+    import logging
+
+    import jax
+    import numpy as np
+
+    from lgteun_tpu.config import Config, LoaderCfg, LossCfg, OptimCfg
+    from lgteun_tpu.data.synthetic import make_synthetic_dataset
+    from lgteun_tpu.data.dataset import PSDataset
+    from lgteun_tpu.registry import build_model
+    from lgteun_tpu.runner import Runner
+
+    dirs = make_synthetic_dataset(str(tmp_path / "d"), n_train=4, n_test=0,
+                                  bands=4, size=64)
+    ds = PSDataset(image_dirs=[dirs["train"]], bit_depth=11)
+    cfg = Config(model_type="lightnet", ms_chans=4, max_iter=8,
+                 save_freq=0, test_freq=0, eval_freq=0, log_freq=4,
+                 norm_input=True, mixed_precision=True,
+                 work_dir=str(tmp_path / "out"),
+                 train_set_cfg=LoaderCfg(batch_size=2),
+                 optim_cfg={"core_module": OptimCfg(type="Adam", lr=2e-3)},
+                 loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)})
+    method = build_model(cfg.model_type, cfg)
+    runner = Runner(cfg, method, train_ds=ds,
+                    logger=logging.getLogger("mp_test"))
+    runner.init().set_optim()
+    p0 = jax.tree.map(np.array, runner.params)
+    runner.train()
+    # master params remain f32 and moved
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(runner.params)):
+        assert np.asarray(b).dtype == np.float32
+    delta = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(jax.tree.leaves(p0),
+                                jax.tree.leaves(runner.params)))
+    assert delta > 1e-6
