@@ -71,9 +71,29 @@ def _unwindows_cm(t, win, hw, b):
     return t.reshape(b, c, h, w)
 
 
+def _window_pairs_cm(x, win):
+    """[B, C, H, W] -> [B*nh*(nw/2), C, 2*win*win]: horizontally
+    adjacent window PAIRS packed on the last (lane) axis, each window's
+    tokens contiguous."""
+    b, c, h, w = x.shape
+    nh, nw2 = h // win, w // (2 * win)
+    t = x.reshape(b, c, nh, win, nw2, 2, win)
+    t = t.transpose(0, 2, 4, 1, 5, 3, 6)  # [b, nh, nw2, c, 2, win, win]
+    return t.reshape(b * nh * nw2, c, 2 * win * win)
+
+
+def _unwindow_pairs_cm(t, win, hw, b):
+    h, w = hw
+    nh, nw2 = h // win, w // (2 * win)
+    c = t.shape[1]
+    t = t.reshape(b, nh, nw2, c, 2, win, win)
+    t = t.transpose(0, 3, 1, 5, 2, 4, 6)  # [b, c, nh, win, nw2, 2, win]
+    return t.reshape(b, c, h, w)
+
+
 def _local_mixer_cm(x, p, win, heads):
     from lgteun_tpu.ops.window_attention import (
-        fused_window_attention_v2_cm,
+        fused_window_attention_v3_packed,
         window_attention_xla,
     )
 
@@ -81,14 +101,16 @@ def _local_mixer_cm(x, p, win, heads):
     scale = (c // heads) ** -0.5
     wqkv = p["to_qkv_kernel"][0, 0]  # [C, 3C]
     bqkv = p["to_qkv_bias"]
+    if jax.default_backend() == "tpu" and (w // win) % 2 == 0:
+        xp = _window_pairs_cm(x, win)  # [N/2, C, 2S] — full 128 lanes
+        out = fused_window_attention_v3_packed(xp, wqkv, bqkv,
+                                               p["pos_emb"], heads=heads,
+                                               scale=scale)
+        return _unwindow_pairs_cm(out, win, (h, w), b)
     xt = _windows_cm(x, win)  # [N, C, S]
-    if jax.default_backend() == "tpu":
-        out = fused_window_attention_v2_cm(xt, wqkv, bqkv, p["pos_emb"],
-                                           heads=heads, scale=scale)
-    else:
-        out = window_attention_xla(xt.transpose(0, 2, 1), wqkv, bqkv,
-                                   p["pos_emb"], heads,
-                                   scale).transpose(0, 2, 1)
+    out = window_attention_xla(xt.transpose(0, 2, 1), wqkv, bqkv,
+                               p["pos_emb"], heads,
+                               scale).transpose(0, 2, 1)
     return _unwindows_cm(out, win, (h, w), b)
 
 

@@ -197,6 +197,89 @@ def fused_window_attention_v2_cm(xt, wqkv, bqkv, pos, *, heads: int,
     return out
 
 
+def _kernel_v3(x_ref, wqkv_ref, bqkv_ref, pos2_ref, out_ref, *, heads,
+               seq2, wpb, scale):
+    """Two windows packed side-by-side on the lane axis (seq2 = 2*S =
+    128 lanes — v2 used only 64 of 128). The position table is
+    block-diagonal with -1e9 off-diagonal blocks, so the softmax over
+    the full 128 lanes is exactly the per-window softmax
+    (exp(-1e9 - rowmax) == 0).
+
+    x_ref: [wpb, C, 2S]; wqkv_ref: [wpb, 3C, C]; bqkv_ref: [3C, 1];
+    pos2_ref: [heads, 2S, 2S]; out_ref: [wpb, C, 2S].
+    """
+    c = x_ref.shape[1]
+    hd = c // heads
+    qkv = jax.lax.dot_general(
+        wqkv_ref[:], x_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [wpb, 3C, 2S]
+    qkv = qkv + bqkv_ref[:][None]
+
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd, :]
+        k = qkv[:, c + h * hd:c + (h + 1) * hd, :]
+        v = qkv[:, 2 * c + h * hd:2 * c + (h + 1) * hd, :]
+        sim = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [W, 2S, 2S]
+        sim = sim + pos2_ref[h][None]
+        sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        out_h = jax.lax.dot_general(
+            v, attn,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [W, hd, 2S]
+        outs.append(out_h)
+    out_ref[:] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, *, heads: int,
+                                     scale: float,
+                                     interpret: bool = False):
+    """xp [N2, C, 2S]: window PAIRS packed on the lane axis (2S = 128
+    for the 8x8 windows) -> [N2, C, 2S]. ~2x the MXU/VPU lane
+    utilisation of the v2 kernel on S=64 windows."""
+    n2, c, s2 = xp.shape
+    wpb = 1
+    for cand in (32, 16, 8, 4, 2):
+        if n2 % cand == 0:
+            wpb = cand
+            break
+    # block-diagonal position bias; off-diagonal blocks masked
+    s = s2 // 2
+    neg = jnp.full((heads, s, s), -1e9, pos.dtype)
+    pos2 = jnp.concatenate([
+        jnp.concatenate([pos, neg], axis=2),
+        jnp.concatenate([neg, pos], axis=2)], axis=1)  # [heads, 2S, 2S]
+    w_b = jnp.broadcast_to(wqkv.T[None], (wpb, 3 * c, c))
+
+    kernel = functools.partial(_kernel_v3, heads=heads, seq2=s2, wpb=wpb,
+                               scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n2, c, s2), xp.dtype),
+        grid=(n2 // wpb,),
+        in_specs=[
+            pl.BlockSpec((wpb, c, s2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpb, 3 * c, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, s2, s2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wpb, c, s2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(xp, w_b, bqkv.reshape(3 * c, 1), pos2)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
 def fused_window_attention(xw, wqkv, bqkv, pos, *, heads: int,
                            scale: float, interpret: bool = False):

@@ -24,3 +24,58 @@ def test_fused_matches_xla(rng, n, s, c, heads):
     got = np.asarray(fused_window_attention(
         xw, wqkv, bqkv, pos, heads=heads, scale=scale, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_packed_v3_matches_xla(rng):
+    """2-window lane-packed kernel (interpret mode): block-diag -1e9
+    position masking must reproduce per-window attention exactly."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.ops.window_attention import (
+        fused_window_attention_v3_packed,
+        window_attention_xla,
+    )
+
+    n, s, c, heads = 8, 64, 16, 2
+    scale = (c // heads) ** -0.5
+    xw = jnp.asarray(rng.uniform(-1, 1, (n, s, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(0, 0.2, (c, 3 * c)).astype(np.float32))
+    bqkv = jnp.asarray(rng.normal(0, 0.1, (3 * c,)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(0, 0.5, (heads, s, s)).astype(np.float32))
+
+    want = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)
+    # pack pairs: [n, s, c] -> [n/2, c, 2s]
+    xp = xw.reshape(n // 2, 2, s, c).transpose(0, 3, 1, 2).reshape(
+        n // 2, c, 2 * s)
+    got = fused_window_attention_v3_packed(xp, wqkv, bqkv, pos,
+                                           heads=heads, scale=scale)
+    got = got.reshape(n // 2, c, 2, s).transpose(0, 2, 3, 1).reshape(n, s, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
+def test_window_pair_partition_roundtrip(rng):
+    """_window_pairs_cm / _unwindow_pairs_cm invert each other and
+    agree with the plain partition."""
+    import jax.numpy as jnp
+
+    from lgteun_tpu.models.lgteun_fast import (
+        _unwindow_pairs_cm,
+        _window_pairs_cm,
+        _windows_cm,
+    )
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 6, 16, 32)).astype(np.float32))
+    xp = _window_pairs_cm(x, 8)
+    assert xp.shape == (2 * 2 * 2, 6, 128)
+    back = _unwindow_pairs_cm(xp, 8, (16, 32), 2)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # each pair's first half == the corresponding plain window
+    plain = _windows_cm(x, 8)
+    np.testing.assert_array_equal(np.asarray(xp[:, :, :64]),
+                                  np.asarray(plain[0::2]))
+    np.testing.assert_array_equal(np.asarray(xp[:, :, 64:]),
+                                  np.asarray(plain[1::2]))
