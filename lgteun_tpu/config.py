@@ -114,6 +114,11 @@ class Config:
     # state; params/batch cast per step, gradients arrive f32 through
     # the cast). Documented caveats in README.
     mixed_precision: bool = False
+    # train steps executed per device dispatch (lax.scan over stacked
+    # batches): amortises host->device round-trip latency, which
+    # dominates small-model steps on remote/tunneled TPUs. Auto-reduced
+    # to divide the active save/eval/test/log frequencies.
+    steps_per_dispatch: int = 1
     extras: dict[str, Any] = field(default_factory=dict)
 
     def get(self, key, default=None):

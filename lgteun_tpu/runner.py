@@ -121,6 +121,7 @@ class Runner:
         self.opt_states = None
         self._txs = None
         self._train_step = None
+        self._train_chunk = None
         self._predict = None
 
     def _put_batch(self, batch: dict) -> dict:
@@ -217,7 +218,30 @@ class Runner:
                 new_params[mod] = optax.apply_updates(params[mod], updates)
             return new_params, new_opt, parts
 
+        self._step_inner = step
         return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_train_chunk(self):
+        """K train steps per device dispatch: lax.scan over stacked
+        batches [K, B, ...] + per-step rngs/iter_ids. Numerically
+        equivalent to K single-step dispatches (same batches, same
+        fold_in keys; float-level deltas only, from XLA fusing the
+        scanned body differently — tested) and pays the host->device
+        round-trip once per K steps instead of per step."""
+        inner = self._step_inner
+
+        def chunk(params, opt_states, batches, rngs, iter_ids):
+            def body(carry, x):
+                p, o = carry
+                b, r, ii = x
+                p, o, parts = inner(p, o, b, r, ii)
+                return (p, o), parts
+
+            (p, o), parts = jax.lax.scan(
+                body, (params, opt_states), (batches, rngs, iter_ids))
+            return p, o, parts  # parts: {name: [K]}
+
+        return jax.jit(chunk, donate_argnums=(0, 1))
 
     def _build_adversarial_train_step(self):
         """Alternating two-optimiser GAN step (reference
@@ -280,6 +304,7 @@ class Runner:
             new_opt["discriminator"] = d_opt
             return new_params, new_opt, parts
 
+        self._step_inner = step
         return jax.jit(step, donate_argnums=(0, 1))
 
     def _build_predict(self):
@@ -318,20 +343,72 @@ class Runner:
         train_sharding = (self.batch_sharding
                           if bs % self.n_devices == 0
                           else self.param_sharding)
-        it = prefetch_to_device(it, size=2, sharding=train_sharding)
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        # Multi-step dispatch: K steps per device round-trip (dominant
+        # cost for small models on remote TPUs). K is reduced to divide
+        # every active frequency and the remaining iteration count so
+        # chunk boundaries line up with save/eval/log exactly.
+        sdp = max(int(cfg.get("steps_per_dispatch", 1) or 1), 1)
+        import math
+
+        for f in (cfg.log_freq, cfg.save_freq, cfg.eval_freq,
+                  cfg.test_freq, cfg.max_iter - self.last_iter):
+            if f:
+                sdp = math.gcd(sdp, f)
+        if self.last_iter % sdp:
+            sdp = 1
+        if sdp > 1:
+            self.logger.info(f"multi-step dispatch: {sdp} steps/dispatch")
+            keys = None
+            host_it = it
+
+            def chunked():
+                nonlocal keys
+                while True:
+                    bs_ = [next(host_it) for _ in range(sdp)]
+                    if keys is None:
+                        keys = list(bs_[0])
+                    yield {k: np.stack([b[k] for b in bs_]) for k in keys}
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            chunk_sharding = (NamedSharding(self.mesh, P(None, "data"))
+                              if bs % self.n_devices == 0
+                              else self.param_sharding)
+            it = prefetch_to_device(chunked(), size=2,
+                                    sharding=chunk_sharding)
+            if self._train_chunk is None:
+                self._train_chunk = self._build_train_chunk()
+            chunk_step = self._train_chunk
+        else:
+            it = prefetch_to_device(it, size=2, sharding=train_sharding)
 
         t0 = time.time()
         iter_id = self.last_iter
         window_losses: list[dict] = []
         while iter_id < cfg.max_iter:
-            batch = next(it)
-            step_rng = jax.random.fold_in(base_rng, iter_id)
-            self.params, self.opt_states, parts = self._train_step(
-                self.params, self.opt_states, batch, step_rng,
-                jnp.asarray(iter_id, jnp.float32))
-            iter_id += 1
-            window_losses.append(parts)
+            if sdp > 1:
+                batches = next(it)
+                rngs = jnp.stack([jax.random.fold_in(base_rng, iter_id + j)
+                                  for j in range(sdp)])
+                iter_ids = jnp.arange(iter_id, iter_id + sdp,
+                                      dtype=jnp.float32)
+                self.params, self.opt_states, parts_k = chunk_step(
+                    self.params, self.opt_states, batches, rngs, iter_ids)
+                parts_host = {k: np.asarray(v) for k, v in parts_k.items()}
+                window_losses.extend(
+                    {k: parts_host[k][j] for k in parts_host}
+                    for j in range(sdp))
+                iter_id += sdp
+            else:
+                batch = next(it)
+                step_rng = jax.random.fold_in(base_rng, iter_id)
+                self.params, self.opt_states, parts = self._train_step(
+                    self.params, self.opt_states, batch, step_rng,
+                    jnp.asarray(iter_id, jnp.float32))
+                iter_id += 1
+                window_losses.append(parts)
 
             if iter_id % cfg.log_freq == 0:
                 parts_h = {k: float(np.mean([float(p[k]) for p in window_losses]))

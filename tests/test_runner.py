@@ -213,3 +213,75 @@ def test_mixed_precision_training(tmp_path):
                 for a, b in zip(jax.tree.leaves(p0),
                                 jax.tree.leaves(runner.params)))
     assert delta > 1e-6
+
+
+def test_steps_per_dispatch_bit_identical(tmp_path):
+    """steps_per_dispatch=3 must reproduce single-step dispatch (same
+    batches, same fold_in rng keys) up to compilation-variant float
+    rounding — XLA fuses the scanned step body differently, so exact
+    bit equality is not guaranteed."""
+    import logging
+
+    import jax
+    import numpy as np
+
+    from lgteun_tpu.config import Config, LoaderCfg, LossCfg, OptimCfg
+    from lgteun_tpu.data.dataset import PSDataset
+    from lgteun_tpu.data.synthetic import make_synthetic_dataset
+    from lgteun_tpu.registry import build_model
+    from lgteun_tpu.runner import Runner
+
+    dirs = make_synthetic_dataset(str(tmp_path / "d"), n_train=4, n_test=0,
+                                  bands=4, size=64)
+    ds = PSDataset(image_dirs=[dirs["train"]], bit_depth=11)
+
+    def run(sdp):
+        cfg = Config(model_type="lightnet", ms_chans=4, max_iter=6,
+                     save_freq=0, test_freq=0, eval_freq=0, log_freq=3,
+                     norm_input=True, steps_per_dispatch=sdp,
+                     work_dir=str(tmp_path / f"out{sdp}"),
+                     train_set_cfg=LoaderCfg(batch_size=2),
+                     optim_cfg={"core_module": OptimCfg(type="Adam",
+                                                        lr=2e-3)},
+                     loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)})
+        method = build_model(cfg.model_type, cfg)
+        runner = Runner(cfg, method, train_ds=ds,
+                        logger=logging.getLogger("sdp_test"))
+        runner.init().set_optim().train()
+        return runner.params
+
+    p1 = run(1)
+    p3 = run(3)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_steps_per_dispatch_freq_auto_reduce(tmp_path):
+    """sdp that doesn't divide a frequency is gcd-reduced (here
+    log_freq=5, sdp=4 -> effective 1) and training still completes."""
+    import logging
+
+    import numpy as np
+
+    from lgteun_tpu.config import Config, LoaderCfg, LossCfg, OptimCfg
+    from lgteun_tpu.data.dataset import PSDataset
+    from lgteun_tpu.data.synthetic import make_synthetic_dataset
+    from lgteun_tpu.registry import build_model
+    from lgteun_tpu.runner import Runner
+
+    dirs = make_synthetic_dataset(str(tmp_path / "d2"), n_train=2,
+                                  n_test=0, bands=4, size=64)
+    ds = PSDataset(image_dirs=[dirs["train"]], bit_depth=11)
+    cfg = Config(model_type="lightnet", ms_chans=4, max_iter=5,
+                 save_freq=0, test_freq=0, eval_freq=0, log_freq=5,
+                 norm_input=True, steps_per_dispatch=4,
+                 work_dir=str(tmp_path / "out_f"),
+                 train_set_cfg=LoaderCfg(batch_size=2),
+                 optim_cfg={"core_module": OptimCfg(type="Adam", lr=1e-3)},
+                 loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)})
+    method = build_model(cfg.model_type, cfg)
+    runner = Runner(cfg, method, train_ds=ds,
+                    logger=logging.getLogger("sdp_test2"))
+    runner.init().set_optim().train()
+    assert runner.last_iter == 5
