@@ -7,6 +7,7 @@ weights run directly (and so parity tests can transplant weights).
 """
 
 from lgteun_tpu.convert.torch_import import (  # noqa: F401
+    AUX_CONVERTERS,
     CONVERTERS,
     convert_state_dict,
 )

@@ -432,6 +432,26 @@ def convert_mutinf(sd: SD) -> dict:
     return out
 
 
+def convert_mutual_info(sd: SD) -> dict:
+    """Reference `Mutual_info_reg` state_dict (the MutInf runner's
+    second module, reference MutInf.py:452-462 / base/losses.py:162-219)
+    -> flax MutualInfoReg params (lgteun_tpu/losses.py)."""
+    table: dict = {}
+    for name in ("layer1", "layer2", "layer3", "layer4"):
+        table.update({
+            f"{name}.weight": (f"{name}/kernel", _conv),
+            f"{name}.bias": (f"{name}/bias", lambda x: x),
+        })
+    for name in ("fc1_rgb3", "fc2_rgb3", "fc1_depth3", "fc2_depth3"):
+        table.update({
+            f"{name}.weight": (f"{name}/kernel", _linear),
+            f"{name}.bias": (f"{name}/bias", lambda x: x),
+        })
+    out: dict = {}
+    _apply_table(sd, table, out, "MutInf.mi")
+    return out
+
+
 # -------------------------------------------------------------------- INNT
 
 def convert_innt(sd: SD) -> dict:
@@ -682,6 +702,13 @@ CONVERTERS: Dict[str, Callable[[SD], dict]] = {
     "MutInf": convert_mutinf,
     "INNT": convert_innt,
     "MDCUN": convert_mdcun,
+}
+
+# Auxiliary (non-core) modules the reference runner also optimises and
+# checkpoints (reference base_model.py:354-369 pickles every entry of
+# module_dict): {(model_type, module_name): converter}.
+AUX_CONVERTERS: Dict[tuple, Callable[[SD], dict]] = {
+    ("MutInf", "mi"): convert_mutual_info,
 }
 
 

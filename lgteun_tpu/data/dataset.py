@@ -8,19 +8,13 @@ optionally `{id}_mul.tif` [H,W,C] ground truth; samples are keyed by the
     input_lr    [h, w, C]   float32 (HWC — TPU-native layout; the
                             reference uses CHW)
     input_pan   [H, W, 1]   float32
-    input_pan_l [H/2, W/2, 1] float32 — cv2.pyrDown applied once per
-                            halving (reference ps_dataset.py:57 applies
-                            pyrDown twice: 128 -> 32... actually 128->64
-                            after two pyrDown? No: two pyrDown = 128->32.
-                            See note below.)
+    input_pan_l [H/4, W/4, 1] float32 — two cv2.pyrDown passes
+                            (reference ps_dataset.py:57)
     target      [H, W, C]   float32 (when present)
     image_id    str
 
-Note on input_pan_l: the reference applies `cv2.pyrDown` twice to the
-128x128 PAN producing 32x32... cv2.pyrDown halves, so twice gives 64 ->
-32. The reference comment says "[1,64,64]" but the code
-`pyrDown(pyrDown(pan))` on 128x128 yields 32x32. We reproduce the CODE
-(two pyrDowns), not the comment.
+Quirk: the reference's comment claims input_pan_l is [1,64,64], but its
+code applies `cv2.pyrDown` twice (128 -> 32); we reproduce the CODE.
 
 Loading is eager-cached: the whole split fits comfortably in host RAM
 (~1000 tiles x ~200 KB), so samples are decoded once and served from

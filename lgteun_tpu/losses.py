@@ -75,7 +75,7 @@ class MutualInfoReg(nn.Module):
     latent_size: int = 4
 
     @nn.compact
-    def __call__(self, feat_a, feat_b, *, rng):
+    def __call__(self, feat_a, feat_b, *, rng=None, noise=None):
         def conv_s2(feats, in_ch, name):
             return nn.Conv(feats, (4, 4), strides=(2, 2),
                            padding=((1, 1), (1, 1)),
@@ -104,9 +104,14 @@ class MutualInfoReg(nn.Module):
         mu_b = jnp.tanh(linear(fb, "fc1_depth3"))
         logvar_b = jnp.tanh(linear(fb, "fc2_depth3"))
 
-        ka, kb = jax.random.split(rng)
-        z_a = mu_a + jnp.exp(0.5 * logvar_a) * jax.random.normal(ka, mu_a.shape)
-        z_b = mu_b + jnp.exp(0.5 * logvar_b) * jax.random.normal(kb, mu_b.shape)
+        if noise is None:
+            ka, kb = jax.random.split(rng)
+            eps_a = jax.random.normal(ka, mu_a.shape)
+            eps_b = jax.random.normal(kb, mu_b.shape)
+        else:  # injectable for cross-framework parity tests
+            eps_a, eps_b = noise
+        z_a = mu_a + jnp.exp(0.5 * logvar_a) * eps_a
+        z_b = mu_b + jnp.exp(0.5 * logvar_b) * eps_b
 
         def kl_normal(mu1, s1, mu2, s2):
             # KL(N(mu1,s1) || N(mu2,s2)) summed over latent dims

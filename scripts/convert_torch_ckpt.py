@@ -72,18 +72,20 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     import orbax.checkpoint as ocp
 
-    from lgteun_tpu.convert import convert_state_dict
+    from lgteun_tpu.convert import AUX_CONVERTERS, convert_state_dict
 
     sds, iter_num = load_torch_state_dicts(args.torch_ckpt)
     params = {}
     for name, sd in sds.items():
         if name == "core_module":
             params[name] = convert_state_dict(args.model_type, sd)
+        elif (args.model_type, name) in AUX_CONVERTERS:
+            # e.g. MutInf's 'mi' module (reference MutInf.py:452-462)
+            params[name] = AUX_CONVERTERS[(args.model_type, name)](sd)
         else:
             raise SystemExit(
                 f"no converter wired for auxiliary module {name!r} "
-                "(core_module is the only module the reference ships "
-                "weights for)")
+                f"of {args.model_type!r}")
 
     path = os.path.abspath(args.out)
     ckptr = ocp.StandardCheckpointer()

@@ -93,3 +93,90 @@ def test_mtf_pan_degradation_matches_reference(ref_metrics, images):
     want = ref_metrics.mtf_resize(pan, satellite="QuickBird", scale=4)
     got = M.mtf_degrade_pan(pan, satellite="QuickBird", scale=4)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+# differentiable (QNR-loss) variants vs QIndex_torch/D_lambda_torch/D_s_torch
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def qnr_case():
+    """Normalized [0,1] batches, the domain the QNR loss sees
+    (reference losses.py:141-153 runs on normalized tensors)."""
+    rng = np.random.default_rng(7)
+    b, c = 3, 4
+    ps = rng.uniform(0, 1, (b, 128, 128, c))
+    lms = rng.uniform(0, 1, (b, 32, 32, c))
+    pan = rng.uniform(0, 1, (b, 128, 128, 1))
+    lpan = rng.uniform(0, 1, (b, 32, 32, 1))
+    return ps, lms, pan, lpan
+
+
+def _nchw_t(x, torch):
+    return torch.from_numpy(np.ascontiguousarray(
+        x.transpose(0, 3, 1, 2))).requires_grad_(True)
+
+
+def test_differentiable_metrics_match_torch(ref_metrics, qnr_case):
+    """qindex_global / d_lambda_global / d_s_global — values AND
+    gradients vs the reference torch originals
+    (reference models/base/metrics.py:336-397). These power the QNR
+    loss (reference losses.py:141-153), so gradient agreement is what
+    makes the loss itself parity-proven."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.metrics.jax_metrics import (
+        d_lambda_global,
+        d_s_global,
+        qindex_global,
+    )
+
+    ps, lms, pan, lpan = qnr_case
+    f64 = dict(dtype=torch.float64)
+
+    # torch operands (NCHW, f64 so the comparison is noise-free)
+    ps_t, lms_t = _nchw_t(ps, torch).to(**f64), _nchw_t(lms, torch).to(**f64)
+    pan_t, lpan_t = (_nchw_t(pan, torch).to(**f64),
+                     _nchw_t(lpan, torch).to(**f64))
+    for t in (ps_t, lms_t, pan_t, lpan_t):
+        t.requires_grad_(True)
+
+    # D_s needs LR-sized ps/pan crops with matching H,W per Q-index
+    # call; the reference passes full-res (ps, pan) and LR (l_ms,
+    # l_pan) — Q index is per-image global stats so sizes may differ.
+    cases = {
+        "qindex": (
+            lambda: ref_metrics.QIndex_torch(ps_t[:, 0], ps_t[:, 1]),
+            lambda p: qindex_global(p[..., 0], p[..., 1]),
+            (ps_t,), ("ps",)),
+        "d_lambda": (
+            lambda: ref_metrics.D_lambda_torch(lms_t, ps_t),
+            lambda l, p: d_lambda_global(l, p),
+            (lms_t, ps_t), ("lms", "ps")),
+        "d_s": (
+            lambda: ref_metrics.D_s_torch(lms_t, pan_t, lpan_t, ps_t),
+            lambda l, p, lp, f: d_s_global(l, p, lp, f),
+            (lms_t, pan_t, lpan_t, ps_t), ("lms", "pan", "lpan", "ps")),
+    }
+    jax_args = {"ps": jnp.asarray(ps), "lms": jnp.asarray(lms),
+                "pan": jnp.asarray(pan), "lpan": jnp.asarray(lpan)}
+
+    for name, (t_fn, j_fn, t_ins, keys) in cases.items():
+        want = t_fn()
+        t_grads = torch.autograd.grad(want.sum(), t_ins)
+
+        def scalar(*args):
+            return jnp.sum(j_fn(*args))
+
+        args = tuple(jax_args[k] for k in keys)
+        got, j_grads = jax.value_and_grad(
+            scalar, argnums=tuple(range(len(args))))(*args)
+        np.testing.assert_allclose(float(got), want.sum().item(),
+                                   rtol=1e-10, err_msg=name)
+        for key, tg, jg in zip(keys, t_grads, j_grads):
+            tg = tg.detach().numpy().transpose(0, 2, 3, 1)
+            np.testing.assert_allclose(np.asarray(jg), tg, rtol=1e-8,
+                                       atol=1e-12,
+                                       err_msg=f"{name} d/d {key}")
