@@ -48,6 +48,7 @@ class OptimCfg:
     type: str = "Adam"
     lr: float = 1e-4
     betas: tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8  # torch.optim.Adam default
     weight_decay: float = 0.0
     momentum: float = 0.0  # SGD/RMSprop
 

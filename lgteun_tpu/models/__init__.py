@@ -25,16 +25,32 @@ class UnlgFormer(FlaxMethod):
     identical math — LGTEUN_FAST=0 restores the flax module);
     training and other backends use the module."""
 
+    # UnlgFormer implements mixed precision SELECTIVELY inside the
+    # module (bf16 prior matmuls/convs, f32 LN/softmax/spectral/
+    # unfolding path — common/lgt.py) rather than via the Runner's
+    # blanket bf16 cast, which round-2 measured at a ~2 dB PSNR loss.
+    handles_mixed = True
+
     def make_module(self):
         g_cfg = dict(self.cfg.model_cfg.get("core_module", {}))
         self._stage = g_cfg.get("stage", 5)
-        return _LGTEUNModule(ms_chans=self.cfg.ms_chans, stage=self._stage)
+        import jax.numpy as jnp
+
+        dtype = (jnp.bfloat16
+                 if self.cfg.get("mixed_precision", False) else None)
+        return _LGTEUNModule(ms_chans=self.cfg.ms_chans, stage=self._stage,
+                             drop_rate=g_cfg.get("drop_rate", 0.1),
+                             dtype=dtype)
 
     def apply(self, params, batch, *, train=False, rng=None):
         import os
 
+        # LGTEUN_EVAL_DTYPE=bf16 takes precedence over the (f32-only)
+        # Pallas fast path so the framework-wide autocast flag always
+        # takes effect (round-2 advisory).
         if (not train and jax.default_backend() == "tpu"
-                and os.environ.get("LGTEUN_FAST", "1") == "1"):
+                and os.environ.get("LGTEUN_FAST", "1") == "1"
+                and self._eval_dtype() is None):
             from lgteun_tpu.models.lgteun_fast import lgteun_fast_forward
 
             return lgteun_fast_forward(params["core_module"],

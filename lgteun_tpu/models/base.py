@@ -53,8 +53,13 @@ class Method:
         `get_model_output`)."""
         raise NotImplementedError
 
-    def losses(self, params: Params, batch: dict, *, rng, iter_id=0):
-        """-> (total_loss, {name: value}). Default: weighted L1/L2
+    def losses(self, params: Params, batch: dict, *, rng, iter_id=0,
+               with_output: bool = False):
+        """-> (total_loss, {name: value}); with ``with_output=True``
+        -> (total_loss, parts, fused_output) so callers that also need
+        the generator forward (the adversarial train step) reuse it
+        instead of recomputing — one forward by construction, not by
+        hoping XLA CSEs a duplicate. Default: weighted L1/L2
         reconstruction (reference base_model.py:206-226). ``iter_id``
         is a traced scalar for iteration-dependent loss schedules
         (MutInf's MI ramp, reference MutInf.py:496)."""
@@ -66,9 +71,11 @@ class Method:
                 value = reconstruction_loss(out, batch["target"], lcfg.type)
             elif "QNR_loss" in name:
                 # no-reference QNR loss (reference losses.py:141-153).
-                # pan_l=None -> bicubic x4 downsample to LrMS size, the
-                # reference's `down_sample(pan)` fallback (the dataset's
-                # `input_pan_l` is HALF-res and not usable here)
+                # pan_l=None -> bicubic x4 downsample, exactly the
+                # reference's `down_sample(pan)` (losses.py:152); the
+                # dataset's Gaussian-pyramid `input_pan_l` is a
+                # different degradation and is NOT what the reference
+                # loss uses
                 from lgteun_tpu.losses import qnr_loss
 
                 value = qnr_loss(batch["input_pan"], batch["input_lr"],
@@ -78,7 +85,7 @@ class Method:
             total = total + lcfg.w * value
             parts[name] = value
         parts["full_loss"] = total
-        return total, parts
+        return (total, parts, out) if with_output else (total, parts)
 
     def param_counts(self, params: Params) -> dict[str, int]:
         return {m: sum(x.size for x in jax.tree.leaves(params[m]))

@@ -17,9 +17,10 @@ component parity so adv_loss configs work end-to-end).
   `convert.torch_import.convert_vgg_feat` when available (none ship in
   this environment).
 
-BatchNorm is implemented in inference-normalisation-free form (flax
-BatchNorm with running stats) — discriminators train with
-use_running_average=False.
+Norm delta vs reference: the reference defaults discriminators to
+BatchNorm; stateful batch stats don't fit the jitted two-optimiser GAN
+step, so norm_type='BN' is rejected with a clear error and the default
+is the stateless instance norm ('IN') — the standard PatchGAN choice.
 """
 
 from __future__ import annotations
@@ -38,7 +39,16 @@ def _norm(norm_type: str | None, name: str):
     if norm_type is None:
         return None
     if norm_type == "BN":
-        return nn.BatchNorm(use_running_average=False, name=name)
+        # BatchNorm needs a mutable batch_stats collection that the
+        # jitted two-optimiser GAN step does not thread (and the
+        # reference's shipped configs never use a BN discriminator,
+        # reference modules.py:111-164). Fail at construction with a
+        # clear message instead of a cryptic apply-time error
+        # (round-2 advisory).
+        raise ValueError(
+            "norm_type='BN' is not supported for discriminators "
+            "(stateful batch stats don't fit the jitted GAN step); "
+            "use norm_type='IN' (stateless instance norm) or None")
     if norm_type == "IN":
         # instance norm == GroupNorm with one channel per group
         return nn.GroupNorm(num_groups=None, group_size=1, name=name)
@@ -49,7 +59,7 @@ class PixelDiscriminator(nn.Module):
     """1x1-conv per-pixel discriminator (reference modules.py:111-126)."""
 
     n_feats: int = 64
-    norm_type: str | None = "BN"
+    norm_type: str | None = "IN"  # reference defaults BN (modules.py); BN rejected here — see _norm
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +78,7 @@ class PatchDiscriminator(nn.Module):
 
     n_feats: int = 64
     n_layers: int = 3
-    norm_type: str | None = "BN"
+    norm_type: str | None = "IN"  # reference defaults BN (modules.py); BN rejected here — see _norm
 
     @nn.compact
     def __call__(self, x):
@@ -99,7 +109,7 @@ class ResBlock(nn.Module):
     """conv-norm-relu-conv-norm + residual (reference modules.py:50-66)."""
 
     n_feats: int
-    norm_type: str | None = "BN"
+    norm_type: str | None = "IN"  # reference defaults BN (modules.py); BN rejected here — see _norm
 
     @nn.compact
     def __call__(self, x):
@@ -119,7 +129,7 @@ class ResChAttnBlock(nn.Module):
     """Residual channel-attention block (reference modules.py:69-108)."""
 
     n_feats: int
-    norm_type: str | None = "BN"
+    norm_type: str | None = "IN"  # reference defaults BN (modules.py); BN rejected here — see _norm
 
     @nn.compact
     def __call__(self, x):

@@ -35,7 +35,11 @@ __all__ = [
 
 
 class Conv(nn.Module):
-    """nn.Conv with torch-default init and optional grouping."""
+    """nn.Conv with torch-default init and optional grouping.
+
+    `dtype` = computation dtype (flax semantics: inputs and params are
+    cast to it; params are STORED f32) — the selective-mixed-precision
+    hook: bf16 compute in heavy branches, f32 master params."""
 
     features: int
     kernel_size: Sequence[int] = (3, 3)
@@ -43,6 +47,7 @@ class Conv(nn.Module):
     padding: str | Sequence = "SAME"
     feature_group_count: int = 1
     use_bias: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -56,6 +61,7 @@ class Conv(nn.Module):
             padding=self.padding,
             feature_group_count=self.feature_group_count,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_conv_kernel_init,
             bias_init=torch_conv_bias_init(fan_in),
         )(x)
@@ -65,10 +71,11 @@ class PointConv(nn.Module):
     """1x1 conv (reference basic_module_unformer_v2.py:13-14)."""
 
     features: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        return Conv(self.features, kernel_size=(1, 1))(x)
+        return Conv(self.features, kernel_size=(1, 1), dtype=self.dtype)(x)
 
 
 class DepConv(nn.Module):

@@ -80,6 +80,7 @@ class LocalMixer(nn.Module):
     win_size: int = 8
     num_heads: int = 2
     use_fused: bool | None = None
+    dtype: jnp.dtype | None = None  # bf16 = mixed-precision training
 
     @nn.compact
     def __call__(self, x):
@@ -108,6 +109,12 @@ class LocalMixer(nn.Module):
                           (3 * c,), jnp.float32)
 
         xw = window_partition(x, self.win_size)  # [N, seq, c]
+        if self.dtype is not None:
+            # mixed precision: XLA path with bf16 matmul operands, f32
+            # softmax/accumulation (the fused kernel is f32-only)
+            out = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale,
+                                       dtype=self.dtype)
+            return window_unpartition(out, self.win_size, (h, w), b)
         if self.use_fused is None:
             # default on for TPU (measured ~1.7x over the XLA path on
             # v5e); LGTEUN_FUSED_ATTENTION=0 disables
@@ -182,15 +189,20 @@ class LGMixer(nn.Module):
     win_size: int = 8
     num_heads: int = 2
     drop_rate: float = 0.1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         c = x.shape[-1]
         half = c // 2
-        x1 = LocalMixer(self.win_size, self.num_heads, name="local")(x[..., :half])
+        x1 = LocalMixer(self.win_size, self.num_heads, dtype=self.dtype,
+                        name="local")(x[..., :half])
+        # GlobalMixer stays f32 under mixed precision: its DFT path is
+        # f32 by construction (ops/fft.py) and the 1/amp-scaled phase
+        # gradient is precision-critical
         x2 = GlobalMixer(name="global")(x[..., half:])
-        out = jnp.concatenate([x1, x2], axis=-1)
-        out = PointConv(c, name="proj")(out)
+        out = jnp.concatenate([x1.astype(x2.dtype), x2], axis=-1)
+        out = PointConv(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.drop_rate, deterministic=deterministic)(out)
         return out
 
@@ -218,6 +230,7 @@ class LNFFNBlock(nn.Module):
 
     ratio: int = 4
     use_fused: bool | None = None
+    dtype: jnp.dtype | None = None  # bf16 = mixed-precision training
 
     @nn.compact
     def __call__(self, x):
@@ -243,6 +256,10 @@ class LNFFNBlock(nn.Module):
             "w3": self.param("w3", torch_conv_kernel_init, (1, 1, c4, c))[0, 0],
             "b3": self.param("b3", torch_conv_bias_init(c4), (c,), jnp.float32),
         }
+        if self.dtype is not None:
+            # mixed precision: f32 LN statistics + residual, bf16
+            # matmul/conv operands with f32 accumulation
+            return ln_ffn_xla(x, params, dtype=self.dtype)
         if self.use_fused is None:
             import os
 
@@ -263,14 +280,18 @@ class LGB(nn.Module):
     num_blocks: int
     win_size: int = 8
     num_heads: int = 2
+    drop_rate: float = 0.1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         for i in range(self.num_blocks):
+            # LN + residual adds stay f32 under mixed precision
             y = nn.LayerNorm(epsilon=1e-5, name=f"norm_mix_{i}")(x)
-            x = x + LGMixer(self.win_size, self.num_heads, name=f"mixer_{i}")(
-                y, deterministic=deterministic)
-            x = LNFFNBlock(name=f"ffn_{i}")(x)
+            x = x + LGMixer(self.win_size, self.num_heads, self.drop_rate,
+                            dtype=self.dtype, name=f"mixer_{i}")(
+                y, deterministic=deterministic).astype(x.dtype)
+            x = LNFFNBlock(dtype=self.dtype, name=f"ffn_{i}")(x)
         return x
 
 
@@ -287,6 +308,11 @@ class LGT(nn.Module):
     num_block: Sequence[int] = (2, 1)
     num_heads: int = 2
     patch_norm: bool = True
+    drop_rate: float = 0.1  # reference hard-codes Dropout(0.1) (LGT.py:198)
+    # bf16 = selective mixed-precision training: branch matmuls/convs
+    # in bf16 (f32 master params), LN stats / spectral path / softmax /
+    # residual trunk in f32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -305,6 +331,7 @@ class LGT(nn.Module):
         skips = []
         for i in range(scales - 1):
             fea = LGB(self.num_block[i], self.window_size, self.num_heads,
+                      self.drop_rate, dtype=self.dtype,
                       name=f"enc_lgb_{i}")(fea, deterministic=deterministic)
             skips.append(fea)
             fea = sampling(fea, 0.5)
@@ -312,6 +339,7 @@ class LGT(nn.Module):
             ch *= 2
 
         fea = LGB(self.num_block[-1], self.window_size, self.num_heads,
+                  self.drop_rate, dtype=self.dtype,
                   name="bottleneck")(fea, deterministic=deterministic)
 
         for i in range(scales - 1):
@@ -320,10 +348,12 @@ class LGT(nn.Module):
             fea = jnp.concatenate([fea, skips[scales - 2 - i]], axis=-1)
             fea = PointConv(ch // 2, name=f"dec_fuse_{i}")(fea)
             fea = LGB(self.num_block[scales - 2 - i], self.window_size,
-                      self.num_heads, name=f"dec_lgb_{i}")(
+                      self.num_heads, self.drop_rate, dtype=self.dtype,
+                      name=f"dec_lgb_{i}")(
                           fea, deterministic=deterministic)
             ch //= 2
 
         out = sampling(fea, self.patch_size)
         out = PointConv(self.in_channels, name="tail")(out)
-        return out + x
+        # residual in the INPUT precision (f32 under mixed training)
+        return out.astype(x.dtype) + x

@@ -69,6 +69,13 @@ class LGTEUN(nn.Module):
     stage: int = 2
     window_size: int = 8
     num_heads: int = 2
+    drop_rate: float = 0.1  # reference hard-codes 0.1 (LGT.py:198)
+    # bf16 = selective mixed-precision training: the LGT priors run
+    # their matmuls/convs in bf16 (f32 LN/softmax/spectral path, see
+    # common/lgt.py); the unfolding gradient step (D/DT/R/RT, eta)
+    # stays f32 — it carries the data-fidelity residual whose
+    # precision bounds final PSNR
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, ms, pan, *, deterministic: bool = True):
@@ -92,6 +99,7 @@ class LGTEUN(nn.Module):
             # every call but the last.
             out = LGT(in_channels=c, embed_channels=c * 4, patch_size=1,
                       window_size=self.window_size, num_block=(2, 1),
-                      num_heads=self.num_heads, name=f"prior_{i}")(
+                      num_heads=self.num_heads, drop_rate=self.drop_rate,
+                      dtype=self.dtype, name=f"prior_{i}")(
                           z, deterministic=deterministic)
         return out

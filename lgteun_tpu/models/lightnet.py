@@ -148,9 +148,11 @@ class lightnet(FlaxMethod):
     """Registered under the reference's lowercase name
     (reference models/lightnet.py:138-139).
 
-    Inference on TPU uses the NCHW fast path (bf16 by default —
-    LGTEUN_LIGHTNET_DTYPE=f32 keeps float32, LGTEUN_LIGHTNET_FAST=0
-    restores the flax NHWC path); training and other backends use the
+    Inference on TPU uses the NCHW fast path in f32 (reference
+    numerics) by default; bf16 is opt-in via LGTEUN_LIGHTNET_DTYPE=bf16
+    or the framework-wide LGTEUN_EVAL_DTYPE=bf16 (~2x faster, eval
+    metrics deviate at the ~0.1 dB level). LGTEUN_LIGHTNET_FAST=0
+    restores the flax NHWC path. Training and other backends use the
     flax module."""
 
     def make_module(self):
@@ -161,9 +163,10 @@ class lightnet(FlaxMethod):
 
         if (not train and jax.default_backend() == "tpu"
                 and os.environ.get("LGTEUN_LIGHTNET_FAST", "1") == "1"):
-            dtype = (jnp.float32
-                     if os.environ.get("LGTEUN_LIGHTNET_DTYPE") == "f32"
-                     else jnp.bfloat16)
+            want_bf16 = "bf16" in (os.environ.get("LGTEUN_LIGHTNET_DTYPE")
+                                   or os.environ.get("LGTEUN_EVAL_DTYPE")
+                                   or "f32")
+            dtype = jnp.bfloat16 if want_bf16 else jnp.float32
             return lightnet_fast_forward(params["core_module"],
                                          batch["input_lr"],
                                          batch["input_pan"], dtype)

@@ -238,7 +238,7 @@ class MutInf(FlaxMethod):
                                      deterministic=not train)
         return hr
 
-    def losses(self, params, batch, *, rng, iter_id=0):
+    def losses(self, params, batch, *, rng, iter_id=0, with_output=False):
         hr, panf, mhrf = self.module.apply(
             {"params": params["core_module"]},
             batch["input_lr"], batch["input_pan"], deterministic=False)
@@ -263,4 +263,4 @@ class MutInf(FlaxMethod):
             total = total + lcfg.w * ramp * value
             parts["MI_rec_loss"] = value
         parts["full_loss"] = total
-        return total, parts
+        return (total, parts, hr) if with_output else (total, parts)

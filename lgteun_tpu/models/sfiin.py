@@ -131,7 +131,7 @@ class SFIIN(FlaxMethod):
     def make_module(self):
         return SFIINNet(ms_chans=self.cfg.ms_chans)
 
-    def losses(self, params, batch, *, rng, iter_id=0):
+    def losses(self, params, batch, *, rng, iter_id=0, with_output=False):
         out = self.apply(params, batch, train=True, rng=rng)
         target = batch["target"]
         total = jnp.asarray(0.0, jnp.float32)
@@ -155,4 +155,4 @@ class SFIIN(FlaxMethod):
             total = total + lcfg.w * value
             parts[name] = value
         parts["full_loss"] = total
-        return total, parts
+        return (total, parts, out) if with_output else (total, parts)

@@ -33,28 +33,46 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_ln_ffn", "fused_ln_ffn_cm", "ln_ffn_xla"]
 
 
-def ln_ffn_xla(x, params, eps=1e-5):
+def ln_ffn_xla(x, params, eps=1e-5, dtype=None):
     """Reference XLA implementation of out = x + FFN(LN(x)).
 
     params: dict with ln_gamma [C], ln_beta [C], w1 [C,4C], b1 [4C],
     w2 [4C,4C], b2 [4C], dw [3,3,4C], bdw [4C], w3 [4C,C], b3 [C].
+
+    `dtype=bf16` = selective mixed precision: LN statistics, GELU and
+    the residual stay f32; matmul/conv OPERANDS are bf16 with f32
+    accumulation (preferred_element_type).
     """
-    params = jax.tree.map(lambda p: p.astype(x.dtype), params)
+    if dtype is None:
+        params = jax.tree.map(lambda p: p.astype(x.dtype), params)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     y = (x - mu) / jnp.sqrt(var + eps) * params["ln_gamma"] + params["ln_beta"]
-    h = jnp.einsum("...c,cd->...d", y, params["w1"]) + params["b1"]
+
+    def mm(t, w):
+        if dtype is None:
+            return jnp.einsum("...c,cd->...d", t, w)
+        return jnp.einsum("...c,cd->...d", t.astype(dtype), w.astype(dtype),
+                          preferred_element_type=jnp.float32)
+
+    h = mm(y, params["w1"]) + params["b1"]
     h = jax.nn.gelu(h, approximate=False)
-    h = jnp.einsum("...c,cd->...d", h, params["w2"]) + params["b2"]
+    h = mm(h, params["w2"]) + params["b2"]
     c4 = h.shape[-1]
     kernel = params["dw"].reshape(3, 3, 1, c4)
+    conv_in = h if dtype is None else h.astype(dtype)
+    conv_k = kernel if dtype is None else kernel.astype(dtype)
+    # under mixed precision the conv runs wholly in bf16 (XLA's TPU
+    # conv accumulates f32 internally; only the 9-tap output rounds) —
+    # mixed-dtype preferred_element_type breaks the conv transpose rule
+    # in jax.grad
     h = jax.lax.conv_general_dilated(
-        h, kernel, (1, 1), "SAME",
+        conv_in, conv_k, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c4) + params["bdw"]
+        feature_group_count=c4).astype(h.dtype) + params["bdw"]
     h = jax.nn.gelu(h, approximate=False)
-    out = jnp.einsum("...c,cd->...d", h, params["w3"]) + params["b3"]
-    return x + out
+    out = mm(h, params["w3"]) + params["b3"]
+    return x + out.astype(x.dtype)
 
 
 def _gelu_exact(x):

@@ -30,11 +30,16 @@ __all__ = ["fused_window_attention", "fused_window_attention_v2_cm",
            "window_attention_xla"]
 
 
-def window_attention_xla(xw, wqkv, bqkv, pos, heads, scale):
+def window_attention_xla(xw, wqkv, bqkv, pos, heads, scale, dtype=None):
     """Plain-XLA reference path. xw: [N, S, C] windows; wqkv [C, 3C];
-    bqkv [3C]; pos [heads, S, S]."""
+    bqkv [3C]; pos [heads, S, S].
+
+    `dtype=bf16` = mixed-precision training mode: matmul operands in
+    bf16 with f32 accumulation, softmax and positional bias in f32."""
     n, s, c = xw.shape
     hd = c // heads
+    if dtype is not None:
+        xw, wqkv, bqkv = (t.astype(dtype) for t in (xw, wqkv, bqkv))
     qkv = jnp.einsum("nsc,cd->nsd", xw, wqkv) + bqkv
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -42,9 +47,15 @@ def window_attention_xla(xw, wqkv, bqkv, pos, heads, scale):
         return t.reshape(n, s, heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = map(heads_first, (q, k, v))
-    sim = jnp.einsum("nhic,nhjc->nhij", q * scale, k) + pos[None]
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("nhij,nhjc->nhic", attn, v)
+    sim = jnp.einsum("nhic,nhjc->nhij", (q * scale).astype(q.dtype), k,
+                     preferred_element_type=jnp.float32) + pos[None]
+    attn = jax.nn.softmax(sim, axis=-1)  # f32 under mixed
+    if dtype is not None:
+        attn = attn.astype(dtype)
+    out = jnp.einsum("nhij,nhjc->nhic", attn, v,
+                     preferred_element_type=jnp.float32)
+    if dtype is not None:
+        out = out.astype(dtype)
     return out.transpose(0, 2, 1, 3).reshape(n, s, c)
 
 

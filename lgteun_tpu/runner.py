@@ -83,9 +83,11 @@ def make_optimizer(ocfg: OptimCfg, sched) -> optax.GradientTransformation:
     buffer leaves (`frozen_*`) are masked to zero updates."""
     kind = ocfg.type.lower()
     if kind == "adam":
-        tx = optax.adam(sched, b1=ocfg.betas[0], b2=ocfg.betas[1])
+        tx = optax.adam(sched, b1=ocfg.betas[0], b2=ocfg.betas[1],
+                        eps=getattr(ocfg, "eps", 1e-8))
     elif kind == "adamw":
         tx = optax.adamw(sched, b1=ocfg.betas[0], b2=ocfg.betas[1],
+                         eps=getattr(ocfg, "eps", 1e-8),
                          weight_decay=ocfg.weight_decay)
     elif kind == "sgd":
         tx = optax.sgd(sched, momentum=ocfg.momentum or None)
@@ -184,9 +186,20 @@ class Runner:
 
     def _build_train_step(self):
         method, txs = self.method, self._txs
-        if getattr(method, "adv_cfg", None) is not None:
-            return self._build_adversarial_train_step()
         mixed = bool(self.cfg.get("mixed_precision", False))
+        if getattr(method, "adv_cfg", None) is not None:
+            if mixed:
+                self.logger.warning(
+                    "mixed_precision=True is not implemented for "
+                    "adversarial training; the GAN step runs in f32")
+            return self._build_adversarial_train_step()
+
+        # Methods with `handles_mixed` implement precision selectively
+        # inside their module (bf16 matmul/conv operands, f32
+        # LN/softmax/residual — the make_module hook reads
+        # cfg.mixed_precision); for the rest, fall back to the blanket
+        # bf16 cast (measured quality trade-off, see README).
+        blanket = mixed and not getattr(method, "handles_mixed", False)
 
         def cast16(t):
             return jax.tree.map(
@@ -196,7 +209,7 @@ class Runner:
         def step(params, opt_states, batch, rng, iter_id):
             def loss_fn(p):
                 b = batch
-                if mixed:
+                if blanket:
                     # bf16 compute; master params stay f32 — the astype
                     # is differentiable, so gradients flow back f32
                     p = cast16(p)
@@ -261,29 +274,35 @@ class Runner:
             g_params = {m: p for m, p in params.items()
                         if m != "discriminator"}
             d_params = params["discriminator"]
-
-            # --- D update on detached generator output ---------------
-            fake = jax.lax.stop_gradient(
-                method.apply(params, batch, train=True, rng=rng_fwd))
             real = batch["target"]
 
-            def d_loss_fn(pd):
-                return gan_d_loss(method.d_apply, pd, fake, real,
-                                  gan_type, rng=rng_d, gp_w=gp_w)
-
-            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
-            d_updates, d_opt = txs["discriminator"].update(
-                d_grads, opt_states["discriminator"], d_params)
-            new_d = optax.apply_updates(d_params, d_updates)
-
-            # --- G update against the updated D -----------------------
+            # ONE generator forward for the whole iteration (the
+            # reference also computes `output` once and feeds both the
+            # D step, detached, and the G term — losses.py:68-137).
+            # The D update runs on stop_gradient(out) inside the G
+            # loss closure so the single forward serves both; nothing
+            # relies on XLA CSE'ing duplicate applies.
             def g_loss_fn(pg):
                 p_full = dict(pg)
-                p_full["discriminator"] = new_d
-                total, parts = method.losses(p_full, batch, rng=rng_fwd,
-                                             iter_id=iter_id)
-                # identical forward as inside losses -> XLA CSEs it
-                out = method.apply(p_full, batch, train=True, rng=rng_fwd)
+                p_full["discriminator"] = d_params
+                total, parts, out = method.losses(p_full, batch,
+                                                  rng=rng_fwd,
+                                                  iter_id=iter_id,
+                                                  with_output=True)
+
+                # --- D update on the detached output ------------------
+                fake = jax.lax.stop_gradient(out)
+
+                def d_loss_fn(pd):
+                    return gan_d_loss(method.d_apply, pd, fake, real,
+                                      gan_type, rng=rng_d, gp_w=gp_w)
+
+                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+                d_updates, d_opt = txs["discriminator"].update(
+                    d_grads, opt_states["discriminator"], d_params)
+                new_d = optax.apply_updates(d_params, d_updates)
+
+                # --- G term against the UPDATED D ---------------------
                 g_adv = gan_g_loss(method.d_apply, new_d, out, gan_type)
                 total = total + adv_w * g_adv
                 # reference logs the pair as (G:..., D:...)
@@ -291,9 +310,9 @@ class Runner:
                 parts[f"{method.adv_name}_G"] = g_adv
                 parts[f"{method.adv_name}_D"] = d_loss
                 parts["full_loss"] = total
-                return total, parts
+                return total, (parts, new_d, d_opt)
 
-            (_, parts), g_grads = jax.value_and_grad(
+            (_, (parts, new_d, d_opt)), g_grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(g_params)
             new_params, new_opt = {}, {}
             for mod in g_params:

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lgteun_tpu.losses import gan_d_loss, gan_g_loss, qnr_loss
 from lgteun_tpu.models.common.discriminators import (
@@ -45,14 +46,23 @@ def test_discriminators_shapes(rng):
     x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 4)), jnp.float32)
     pix = PixelDiscriminator(n_feats=8)
     vars_ = pix.init(jax.random.PRNGKey(0), x)
-    out, _ = pix.apply(vars_, x, mutable=["batch_stats"])
+    out = pix.apply(vars_, x)
     assert out.shape == (2, 32, 32, 1)
 
     patch = PatchDiscriminator(n_feats=8, n_layers=3)
     vars_ = patch.init(jax.random.PRNGKey(0), x)
-    out, _ = patch.apply(vars_, x, mutable=["batch_stats"])
+    out = patch.apply(vars_, x)
     assert out.shape[0] == 2 and out.shape[-1] == 1
     assert out.shape[1] < 8  # receptive-field downscaling happened
+
+
+def test_discriminator_bn_rejected(rng):
+    """norm_type='BN' must fail loudly at init, not with a cryptic
+    missing-batch_stats apply error (round-2 advisory)."""
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 4)), jnp.float32)
+    with pytest.raises(ValueError, match="BN"):
+        PixelDiscriminator(n_feats=4, norm_type="BN").init(
+            jax.random.PRNGKey(0), x)
 
 
 def test_gan_losses_all_variants(rng):

@@ -285,3 +285,77 @@ def test_steps_per_dispatch_freq_auto_reduce(tmp_path):
                     logger=logging.getLogger("sdp_test2"))
     runner.init().set_optim().train()
     assert runner.last_iter == 5
+
+def test_selective_mixed_precision_unlgformer(tmp_path):
+    """UnlgFormer's mixed_precision path is SELECTIVE (bf16 prior
+    matmuls/convs with f32 accumulation; f32 LN/softmax/spectral and
+    the whole unfolding gradient step — common/lgt.py, lgteun.py), not
+    the Runner's blanket bf16 cast: on identical params/batch the
+    training loss must track f32 at the per-mille level (round-2
+    measured the blanket cast at a ~2 dB PSNR cost; selectivity is the
+    fix), and the Runner must leave master params f32."""
+    import logging
+
+    import jax
+    import numpy as np
+
+    from lgteun_tpu.config import Config, LoaderCfg, LossCfg, OptimCfg
+    from lgteun_tpu.data.dataset import PSDataset
+    from lgteun_tpu.data.synthetic import make_synthetic_dataset
+    from lgteun_tpu.registry import build_model
+    from lgteun_tpu.runner import Runner
+
+    dirs = make_synthetic_dataset(str(tmp_path / "d"), n_train=4, n_test=0,
+                                  bands=4, size=64)
+    ds = PSDataset(image_dirs=[dirs["train"]], bit_depth=11)
+
+    def cfg_for(mixed):
+        return Config(model_type="UnlgFormer", ms_chans=4, max_iter=2,
+                      save_freq=0, test_freq=0, eval_freq=0, log_freq=2,
+                      norm_input=True, mixed_precision=mixed,
+                      work_dir=str(tmp_path / f"out_{mixed}"),
+                      model_cfg={"core_module": {"stage": 1,
+                                                 "drop_rate": 0.0}},
+                      train_set_cfg=LoaderCfg(batch_size=2),
+                      optim_cfg={"core_module": OptimCfg(type="Adam",
+                                                         lr=1.5e-3)},
+                      loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)})
+
+    m16 = build_model("UnlgFormer", cfg_for(True))
+    m32 = build_model("UnlgFormer", cfg_for(False))
+    assert m16.handles_mixed
+
+    params = m32.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    batch = {
+        "input_lr": jax.numpy.asarray(
+            rng.uniform(0, 1, (2, 16, 16, 4)), jax.numpy.float32),
+        "input_pan": jax.numpy.asarray(
+            rng.uniform(0, 1, (2, 64, 64, 1)), jax.numpy.float32),
+        "target": jax.numpy.asarray(
+            rng.uniform(0, 1, (2, 64, 64, 4)), jax.numpy.float32),
+    }
+    key = jax.random.PRNGKey(1)
+    l32, _ = m32.losses(params, batch, rng=key)
+    l16, _ = m16.losses(params, batch, rng=key)
+    assert float(l16) != float(l32)  # bf16 actually engaged
+    assert abs(float(l16) - float(l32)) <= 5e-3 * abs(float(l32)), (
+        f"selective bf16 loss {float(l16)} strays from f32 {float(l32)}")
+
+    g16 = jax.grad(lambda p: m16.losses(p, batch, rng=key)[0])(params)
+    for leaf in jax.tree.leaves(g16):
+        assert leaf.dtype == jax.numpy.float32
+        assert bool(jax.numpy.all(jax.numpy.isfinite(leaf)))
+
+    # integration: the Runner trains with it and master params stay f32
+    runner = Runner(cfg_for(True), m16, train_ds=ds,
+                    logger=logging.getLogger("smp_test"))
+    runner.init().set_optim()
+    p0 = jax.tree.map(np.array, runner.params)
+    runner.train()
+    moved = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(jax.tree.leaves(p0),
+                                jax.tree.leaves(runner.params)))
+    assert moved > 1e-6
+    for leaf in jax.tree.leaves(runner.params):
+        assert np.asarray(leaf).dtype == np.float32
