@@ -75,16 +75,30 @@ def ln_ffn_xla(x, params, eps=1e-5, dtype=None):
     return x + out.astype(x.dtype)
 
 
+# erf(z) = tanh(z * Q(z^2)) coefficients: weighted-minimax fit of
+# atanh(erf(z))/z (even in z) on z in [0, 4.2]; |erf err| <= 1.54e-7,
+# the same f32 floor as Abramowitz-Stegun 7.1.26. The tanh FORM is the
+# point: measured in-kernel on v5e, tanh is ~7x cheaper than the
+# exp(-z^2)-based A&S evaluation (Mosaic's exp dominates the fused FFN
+# kernel's VPU time; see scripts/ablate_fast_path.py provenance in git
+# history). Both branches of the odd function are handled without
+# sign/abs; the clamp keeps the poly inside its fitted domain (erf has
+# saturated to f32 1.0 by |z| = 4.2, where the tanh argument is 11.6).
+_ERF_TANH_Q = (1.1283797847e+00, 1.0276470515e-01, -1.8250625709e-04,
+               -6.2742960006e-04, 9.0387230182e-05, -6.1008284494e-06,
+               1.6583619694e-07)
+
+
 def _gelu_exact(x):
-    """0.5 x (1 + erf(x/sqrt2)) with an Abramowitz-Stegun 7.1.26 erf
-    (|err| < 1.5e-7 == f32 rounding); Mosaic has no erf/erfc primitive."""
-    z = x * 0.7071067811865476
-    s = jnp.sign(z)
-    az = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * az)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    """0.5 x (1 + erf(x/sqrt2)) with erf = tanh(z Q(z^2)) (|err| <
+    1.6e-7 == f32 rounding); Mosaic has no erf/erfc primitive and its
+    exp is far slower than tanh on the VPU."""
+    z = jnp.clip(x * 0.7071067811865476, -4.2, 4.2)
+    u = z * z
+    q = jnp.float32(_ERF_TANH_Q[-1])
+    for c in _ERF_TANH_Q[-2::-1]:
+        q = q * u + jnp.float32(c)
+    erf = jnp.tanh(z * q)
     return 0.5 * x * (1.0 + erf)
 
 
