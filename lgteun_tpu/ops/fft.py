@@ -18,8 +18,9 @@ axes conventions used in the models (NHWC images, axes=(-3, -2)):
 - inverse: exact adjoint with hermitian weighting and 1/(H*W) scaling
 
 DFT matrices are built at trace time in float64 and applied as float32
-HIGHEST-precision einsums; max abs error vs numpy's FFT is ~1e-5 at
-128x128 (validated in tests/test_fft.py).
+einsums at HIGH precision (3-pass bf16; LGTEUN_MATMUL_PRECISION=highest
+selects 6-pass HIGHEST); max abs error vs numpy's FFT is ~1e-5 at
+128x128 either way (validated in tests/test_fft.py).
 
 Backend selection: `USE_MATMUL_DFT` defaults to True on TPU and False
 elsewhere (XLA CPU/GPU FFT is available and exact); models call
@@ -29,6 +30,7 @@ elsewhere (XLA CPU/GPU FFT is available and exact); models call
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,12 +38,18 @@ import numpy as np
 
 __all__ = ["rfft2", "irfft2", "rfft2_pair", "irfft2_pair", "use_matmul_dft"]
 
-_HP = jax.lax.Precision.HIGHEST
+def _dft_precision():
+    """DFT matmul precision. HIGH (3-pass bf16, ~1e-6 rel) is the
+    default — the DFT's documented accuracy budget vs numpy is ~1e-5 at
+    128x128, so the extra 3 passes of HIGHEST buy nothing but ~2x MXU
+    time on the mixer's hot path. LGTEUN_MATMUL_PRECISION=highest (the
+    parity-grade flag the models already honour) restores 6-pass."""
+    if os.environ.get("LGTEUN_MATMUL_PRECISION", "").lower() == "highest":
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.HIGH
 
 
 def use_matmul_dft() -> bool:
-    import os
-
     env = os.environ.get("LGTEUN_MATMUL_DFT")
     if env is not None:
         return env == "1"
@@ -87,8 +95,10 @@ def _mm(mat: np.ndarray, x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Apply [K, N] matrix along `axis` (-3 or -2) of [..., H, W, C]."""
     m = jnp.asarray(mat, jnp.float32)
     if axis == -3:
-        return jnp.einsum("kh,...hwc->...kwc", m, x, precision=_HP)
-    return jnp.einsum("kw,...hwc->...hkc", m, x, precision=_HP)
+        return jnp.einsum("kh,...hwc->...kwc", m, x,
+                          precision=_dft_precision())
+    return jnp.einsum("kw,...hwc->...hkc", m, x,
+                      precision=_dft_precision())
 
 
 def rfft2_pair(x: jnp.ndarray, axes=(-3, -2),
@@ -140,8 +150,10 @@ def _mm_cm(mat: np.ndarray, x: jnp.ndarray, axis: int) -> jnp.ndarray:
     [..., H, W] arrays."""
     m = jnp.asarray(mat, jnp.float32)
     if axis == -2:
-        return jnp.einsum("kh,...hw->...kw", m, x, precision=_HP)
-    return jnp.einsum("kw,...hw->...hk", m, x, precision=_HP)
+        return jnp.einsum("kh,...hw->...kw", m, x,
+                          precision=_dft_precision())
+    return jnp.einsum("kw,...hw->...hk", m, x,
+                      precision=_dft_precision())
 
 
 def rfft2_pair_cm(x: jnp.ndarray,

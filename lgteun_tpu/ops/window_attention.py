@@ -237,7 +237,9 @@ def _kernel_v3(x_ref, wqkv_ref, bqkv_ref, pos2_ref, out_ref, *, heads,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # [W, 2S, 2S]
         sim = sim + pos2_ref[h][None]
-        sim = sim - jnp.max(sim, axis=-1, keepdims=True)
+        # no max-subtraction: post-LN logits are O(10), far from f32
+        # exp overflow, and the -1e9 mask lanes exp to exactly 0 — the
+        # shift only costs a lane-reduce + broadcast per row here
         e = jnp.exp(sim)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)
         out_h = jax.lax.dot_general(
@@ -257,7 +259,7 @@ def fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, *, heads: int,
     utilisation of the v2 kernel on S=64 windows."""
     n2, c, s2 = xp.shape
     wpb = 1
-    for cand in (32, 16, 8, 4, 2):
+    for cand in (64, 32, 16, 8, 4, 2):
         if n2 % cand == 0:
             wpb = cand
             break
