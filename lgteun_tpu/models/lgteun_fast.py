@@ -114,7 +114,7 @@ def _pack_mats(win: int, w: int):
             pw, cc = q // win, q % win
             P[r * w + col, j, pw * win * win + r * win + cc] = 1.0
     Pinv = P.reshape(m, -1).T.reshape(npair, 2 * win * win, m)
-    return jnp.asarray(P), jnp.asarray(Pinv)
+    return P, Pinv  # numpy (jnp constants would leak across traces)
 
 
 def _window_pairs_mm(x, win):
@@ -123,7 +123,7 @@ def _window_pairs_mm(x, win):
     nh, npair = h // win, w // (2 * win)
     P, _ = _pack_mats(win, w)
     xv = x.reshape(b, c, nh, win * w)
-    y = jnp.einsum("bcnm,mjl->bncjl", xv, P,
+    y = jnp.einsum("bcnm,mjl->bncjl", xv, jnp.asarray(P),
                    precision=jax.lax.Precision.HIGH)
     y = y.transpose(0, 1, 3, 2, 4)  # [b, nh, j, c, l]
     return y.reshape(b * nh * npair, c, 2 * win * win)
@@ -135,7 +135,7 @@ def _unwindow_pairs_mm(t, win, hw, b):
     c = t.shape[1]
     _, Pinv = _pack_mats(win, w)
     y = t.reshape(b, nh, npair, c, 2 * win * win).transpose(0, 1, 3, 2, 4)
-    out = jnp.einsum("bncjl,jlm->bcnm", y, Pinv,
+    out = jnp.einsum("bncjl,jlm->bcnm", y, jnp.asarray(Pinv),
                      precision=jax.lax.Precision.HIGH)
     return out.reshape(b, c, h, w)
 
@@ -182,6 +182,12 @@ def _local_mixer_cm(x, p, win, heads):
 def _global_mixer_cm(x, p):
     """FFT amp/phase mixer, channel-major (exact forward values incl.
     the zero-bin convention and the reference's epsilons)."""
+    if jax.default_backend() == "tpu" and not _parity_grade():
+        from lgteun_tpu.ops.spectral_kernel import fused_global_mixer_cm
+
+        return fused_global_mixer_cm(
+            x, p["amp_scale"][0, 0, 0], p["amp_bias"],
+            p["pha_scale"][0, 0, 0], p["pha_bias"])
     h, w = x.shape[-2], x.shape[-1]
     re, im = rfft2_pair_cm(x, norm="backward")
     zero = (re == 0.0) & (im == 0.0)

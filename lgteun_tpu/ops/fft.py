@@ -56,13 +56,28 @@ def use_matmul_dft() -> bool:
     return jax.default_backend() == "tpu"
 
 
+
+
+def _snap(m: np.ndarray) -> np.ndarray:
+    """Zero the matrix entries that are exactly 0 in exact arithmetic
+    (sin/cos of integer multiples of pi evaluated through floating
+    2*pi*k*w/n land at ~1e-13 noise of either sign). Snapping makes the
+    spectrum's exactly-zero imaginary bins exactly zero, so the phase's
+    atan2 branch cut at +-pi is deterministic (+pi, numpy/torch
+    convention) instead of a rounding coin flip — the amp/phase mixers
+    scale the phase, so a 2*pi ambiguity is a real value change."""
+    out = m.copy()
+    out[np.abs(out) < 1e-9] = 0.0
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _dft_mats(n: int):
     """Full-DFT cos/sin matrices [n, n]: X_k = sum_w x_w e^{-2pi i k w / n}."""
     k = np.arange(n)[:, None]
     w = np.arange(n)[None, :]
     ang = 2.0 * np.pi * k * w / n
-    return np.cos(ang), -np.sin(ang)
+    return _snap(np.cos(ang)), _snap(-np.sin(ang))
 
 
 @functools.lru_cache(maxsize=None)
@@ -71,7 +86,7 @@ def _rdft_mats(n: int):
     k = np.arange(n // 2 + 1)[:, None]
     w = np.arange(n)[None, :]
     ang = 2.0 * np.pi * k * w / n
-    return np.cos(ang), -np.sin(ang)
+    return _snap(np.cos(ang)), _snap(-np.sin(ang))
 
 
 @functools.lru_cache(maxsize=None)
@@ -86,8 +101,8 @@ def _irdft_mats(n: int):
     weight[0] = 1.0
     if n % 2 == 0:
         weight[-1] = 1.0
-    cos = np.cos(ang) * weight / n
-    sin = -np.sin(ang) * weight / n
+    cos = _snap(np.cos(ang)) * weight / n
+    sin = _snap(-np.sin(ang)) * weight / n
     return cos, sin
 
 

@@ -1,0 +1,204 @@
+"""Fused FFT amp/phase global mixer (Pallas TPU kernel).
+
+LGT's global mixer (reference: models/common/LGT.py:149-180) is
+rfft2 -> per-channel affine on amplitude & phase -> recombine
+amp*cos/sin(pha) -> irfft2 -> abs. The XLA matmul-DFT path
+(`models/lgteun_fast.py::_global_mixer_cm` over `ops/fft.py`) runs ~12
+einsum passes plus the amp/phase elementwise chain, each materialising
+the [B, C/2, H, W]-scale intermediate in HBM — the mixer is the third
+largest cost in the fast path (~16 ms/batch at the headline shape).
+
+This kernel holds ONE image's mixer half in VMEM (grid = batch) and
+runs the whole chain in a single HBM read + write:
+
+- W-axis half-spectrum DFT as [W, W] matmuls whose rows past W/2+1 are
+  zero (the hermitian half rides in zero-padded lanes, so every dot
+  stays a dense tile-aligned MXU op)
+- H-axis full complex DFT / inverse as channel-batched [H, H] matmuls
+  against broadcast constant matrices
+- amplitude via sqrt, phase via an atan2 built from a degree-8
+  minimax atan polynomial (5.8e-9 max err; Mosaic has no atan2
+  primitive), recombination with the reference's exact epsilon
+  placement and zero-bin convention, sin/cos native
+- W-axis inverse with the hermitian 2/1 weighting folded into the
+  constant matrix (matching `ops/fft.py::_irdft_mats`)
+
+Matmul operands round to bf16 (Mosaic's only dot mode) — the same
+TF32-class numerics as the rest of the default TPU inference path;
+LGTEUN_MATMUL_PRECISION=highest routes the model off this kernel.
+Validated against the XLA mixer in tests/test_spectral_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_global_mixer_cm", "global_mixer_xla_cm"]
+
+# atan(t)/t as a polynomial in t^2 on [0, 1]; weighted-minimax LS fit,
+# max |atan err| 5.8e-9
+_ATAN_COEFFS = (9.9999988639e-01, -3.3332596975e-01, 1.9985905766e-01,
+                -1.4161222370e-01, 1.0498922667e-01, -7.2348126864e-02,
+                3.9780741785e-02, -1.4401083247e-02, 2.4566602037e-03)
+_PI = 3.14159265358979323846
+_HALF_PI = _PI / 2.0
+
+
+def _atan2(y, x):
+    """atan2 from the octant-reduced atan polynomial (natively
+    supported ops only: abs/min/max/divide/select)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    u = t * t
+    q = jnp.float32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        q = q * u + jnp.float32(c)
+    a = t * q
+    a = jnp.where(ay > ax, _HALF_PI - a, a)
+    a = jnp.where(x < 0.0, _PI - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+@functools.lru_cache(maxsize=None)
+def _mixer_mats(h: int, w: int):
+    """Constant DFT matrices, numpy f32 (jnp constants would leak
+    across traces):
+
+    wc/ws   [w, w]  W-axis half-spectrum forward, transposed for
+                    right-multiplication; columns past w//2+1 are zero
+    hc/hs   [h, h]  H-axis full forward (left-multiplied, batched)
+    hic/his [h, h]  H-axis inverse
+    wic/wis [w, w]  W-axis hermitian-weighted inverse, transposed for
+                    right-multiplication; rows past w//2+1 are zero
+    """
+    from lgteun_tpu.ops.fft import _snap
+
+    nk = w // 2 + 1
+    k = np.arange(nk)[:, None]
+    ww = np.arange(w)[None, :]
+    ang = 2.0 * np.pi * k * ww / w
+    wc = np.zeros((w, w), np.float64)
+    ws = np.zeros((w, w), np.float64)
+    wc[:, :nk] = _snap(np.cos(ang)).T
+    ws[:, :nk] = _snap(-np.sin(ang)).T
+
+    kh = np.arange(h)[:, None]
+    hh = np.arange(h)[None, :]
+    angh = 2.0 * np.pi * kh * hh / h
+    hc = _snap(np.cos(angh))
+    hs = _snap(-np.sin(angh))
+    hic = hc.T / h
+    his = -hs.T / h
+
+    weight = np.full(nk, 2.0)
+    weight[0] = 1.0
+    if w % 2 == 0:
+        weight[-1] = 1.0
+    wi_ang = 2.0 * np.pi * np.arange(w)[:, None] * np.arange(nk)[None, :] / w
+    wic = np.zeros((w, w), np.float64)
+    wis = np.zeros((w, w), np.float64)
+    wic[:nk, :] = (_snap(np.cos(wi_ang)) * weight / w).T
+    wis[:nk, :] = (_snap(-np.sin(wi_ang)) * weight / w).T
+    return tuple(m.astype(np.float32) for m in (wc, ws, hc, hs, hic, his,
+                                                wic, wis))
+
+
+def _kernel(x_ref, asc_ref, abi_ref, psc_ref, pbi_ref, wc, ws, hc, hs,
+            hic, his, wic, wis, out_ref, *, c, h, w):
+    xi = x_ref[0]  # [c, h, w]
+
+    def rmul(t, m):
+        """[c, h, w] @ [w, w'] — pixels row-major on sublanes."""
+        t2 = t.reshape(c * h, w)
+        out = jax.lax.dot_general(
+            t2, m[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.reshape(c, h, w)
+
+    def lmul(m, t):
+        """[h', h] @ [c, h, w] batched over channels."""
+        mb = jnp.broadcast_to(m[:][None], (c, h, h))
+        return jax.lax.dot_general(
+            mb, t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    # forward rfft2 (half W spectrum in zero-padded lanes)
+    re = rmul(xi, wc)
+    im = rmul(xi, ws)
+    re, im = lmul(hc, re) - lmul(hs, im), lmul(hc, im) + lmul(hs, re)
+
+    # amp/phase with the reference's zero-bin convention and epsilons
+    zero = (re == 0.0) & (im == 0.0)
+    re_s = jnp.where(zero, 1.0, re)
+    im_s = jnp.where(zero, 0.0, im)
+    amp = jnp.where(zero, 0.0, jnp.sqrt(re_s * re_s + im_s * im_s))
+    pha = jnp.where(zero, 0.0, _atan2(im_s, re_s))
+    col = lambda p: p[...].reshape(c, 1, 1)
+    amp = amp * col(asc_ref) + col(abi_ref)
+    pha = pha * col(psc_ref) + col(pbi_ref)
+    real = amp * jnp.cos(pha) + 1e-8 + 1e-8
+    imag = amp * jnp.sin(pha) + 1e-8
+
+    # inverse: H full complex, then hermitian-weighted W
+    mid_re = lmul(hic, real) - lmul(his, imag)
+    mid_im = lmul(hic, imag) + lmul(his, real)
+    out = rmul(mid_re, wic) + rmul(mid_im, wis)
+    out_ref[0] = jnp.abs(out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_global_mixer_cm(x, amp_scale, amp_bias, pha_scale, pha_bias, *,
+                          interpret: bool = False):
+    """Channel-major [B, C, H, W] -> [B, C, H, W] fused global mixer.
+
+    amp_scale/amp_bias/pha_scale/pha_bias: [C] per-channel affine (the
+    reference's 1x1 depthwise amp_fuse/pha_fuse convs)."""
+    b, c, h, w = x.shape
+    mats = _mixer_mats(h, w)
+    kernel = functools.partial(_kernel, c=c, h=h, w=w)
+    col = lambda p: p.reshape(-1, 1)
+    const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((c, 1)), const((c, 1)), const((c, 1)), const((c, 1)),
+        ] + [const((m.shape[0], m.shape[1])) for m in mats],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda bi: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(x, col(amp_scale), col(amp_bias), col(pha_scale), col(pha_bias),
+      *(jnp.asarray(m) for m in mats))
+
+
+def global_mixer_xla_cm(x, amp_scale, amp_bias, pha_scale, pha_bias):
+    """XLA reference with identical semantics (mirrors
+    `models/lgteun_fast.py::_global_mixer_cm`)."""
+    from lgteun_tpu.ops.fft import irfft2_pair_cm, rfft2_pair_cm
+
+    h, w = x.shape[-2], x.shape[-1]
+    re, im = rfft2_pair_cm(x, norm="backward")
+    zero = (re == 0.0) & (im == 0.0)
+    re_s = jnp.where(zero, 1.0, re)
+    im_s = jnp.where(zero, 0.0, im)
+    amp = jnp.where(zero, 0.0, jnp.sqrt(re_s**2 + im_s**2))
+    pha = jnp.where(zero, 0.0, jnp.arctan2(im_s, re_s))
+    col = lambda v: v[None, :, None, None]
+    amp = amp * col(amp_scale) + col(amp_bias)
+    pha = pha * col(pha_scale) + col(pha_bias)
+    real = amp * jnp.cos(pha) + 1e-8 + 1e-8
+    imag = amp * jnp.sin(pha) + 1e-8
+    return jnp.abs(irfft2_pair_cm(real, imag, s=(h, w), norm="backward"))
