@@ -112,9 +112,11 @@ def _mixer_mats(h: int, w: int):
                                                 wic, wis))
 
 
-def _kernel(x_ref, asc_ref, abi_ref, psc_ref, pbi_ref, wc, ws, hc, hs,
-            hic, his, wic, wis, out_ref, *, c, h, w):
-    xi = x_ref[0]  # [c, h, w]
+def mixer_body(xi, asc, abi, psc, pbi, mats, *, c, h, w):
+    """Value-level fused mixer chain on one image [c, h, w] (shared by
+    this kernel and the LGB megakernel in ops/lgb_mixer_kernel.py).
+    asc/abi/psc/pbi: [c, 1, 1]; mats: the 8 `_mixer_mats` arrays."""
+    wc, ws, hc, hs, hic, his, wic, wis = mats
 
     def rmul(t, m):
         """[c, h, w] @ [w, w'] — pixels row-major on sublanes."""
@@ -142,9 +144,8 @@ def _kernel(x_ref, asc_ref, abi_ref, psc_ref, pbi_ref, wc, ws, hc, hs,
     im_s = jnp.where(zero, 0.0, im)
     amp = jnp.where(zero, 0.0, jnp.sqrt(re_s * re_s + im_s * im_s))
     pha = jnp.where(zero, 0.0, _atan2(im_s, re_s))
-    col = lambda p: p[...].reshape(c, 1, 1)
-    amp = amp * col(asc_ref) + col(abi_ref)
-    pha = pha * col(psc_ref) + col(pbi_ref)
+    amp = amp * asc + abi
+    pha = pha * psc + pbi
     real = amp * jnp.cos(pha) + 1e-8 + 1e-8
     imag = amp * jnp.sin(pha) + 1e-8
 
@@ -152,7 +153,17 @@ def _kernel(x_ref, asc_ref, abi_ref, psc_ref, pbi_ref, wc, ws, hc, hs,
     mid_re = lmul(hic, real) - lmul(his, imag)
     mid_im = lmul(hic, imag) + lmul(his, real)
     out = rmul(mid_re, wic) + rmul(mid_im, wis)
-    out_ref[0] = jnp.abs(out).astype(out_ref.dtype)
+    return jnp.abs(out)
+
+
+def _kernel(x_ref, asc_ref, abi_ref, psc_ref, pbi_ref, wc, ws, hc, hs,
+            hic, his, wic, wis, out_ref, *, c, h, w):
+    col = lambda p: p[...].reshape(c, 1, 1)
+    out = mixer_body(x_ref[0], col(asc_ref), col(abi_ref), col(psc_ref),
+                     col(pbi_ref),
+                     tuple(m[:] for m in (wc, ws, hc, hs, hic, his, wic,
+                                          wis)), c=c, h=h, w=w)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
