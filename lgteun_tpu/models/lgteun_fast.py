@@ -102,9 +102,10 @@ def _pack_mats(win: int, w: int):
     as MXU matmuls. The pack is a fine-grained (8-lane-granule) shuffle
     that XLA's transpose emitter runs ~10x off stream rate; a
     permutation is a linear map, so a [win*w, npair*2win^2] one-hot
-    einsum at HIGH precision does the same relayout on the MXU at
-    ~0.45x the cost (measured v5e, [96,16,128,128]: 2.9 -> 2.0 ms for
-    the pack+unpack pair) with ~1e-5 relative rounding."""
+    einsum does the same relayout on the MXU (measured v5e,
+    [96,16,128,128] pack+unpack pair: 2.9 ms transpose -> 2.0 ms
+    HIGH-precision matmul -> single-pass bf16 matmul, see
+    `_window_pairs_mm` for why bf16 is numerically free here)."""
     npair = w // (2 * win)
     m = win * w
     P = np.zeros((m, npair, 2 * win * win), np.float32)
@@ -118,13 +119,21 @@ def _pack_mats(win: int, w: int):
 
 
 def _window_pairs_mm(x, win):
-    """`_window_pairs_cm` as a permutation matmul (TPU fast path)."""
+    """`_window_pairs_cm` as a permutation matmul (TPU fast path).
+
+    The one-hot contraction runs as a single bf16 MXU pass: a
+    permutation matmul copies values, so the only rounding is the
+    values themselves to bf16 — exactly the rounding the attention
+    kernel's own Mosaic dot applies to its operands anyway, i.e. free
+    on the attention input (measured: HIGH 3-pass -> bf16 1-pass is
+    ~3x on the pack/unpack matmuls)."""
     b, c, h, w = x.shape
     nh, npair = h // win, w // (2 * win)
     P, _ = _pack_mats(win, w)
-    xv = x.reshape(b, c, nh, win * w)
-    y = jnp.einsum("bcnm,mjl->bncjl", xv, jnp.asarray(P),
-                   precision=jax.lax.Precision.HIGH)
+    xv = x.reshape(b, c, nh, win * w).astype(jnp.bfloat16)
+    y = jnp.einsum("bcnm,mjl->bncjl", xv,
+                   jnp.asarray(P, jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
     y = y.transpose(0, 1, 3, 2, 4)  # [b, nh, j, c, l]
     return y.reshape(b * nh * npair, c, 2 * win * win)
 
@@ -135,8 +144,9 @@ def _unwindow_pairs_mm(t, win, hw, b):
     c = t.shape[1]
     _, Pinv = _pack_mats(win, w)
     y = t.reshape(b, nh, npair, c, 2 * win * win).transpose(0, 1, 3, 2, 4)
-    out = jnp.einsum("bncjl,jlm->bcnm", y, jnp.asarray(Pinv),
-                     precision=jax.lax.Precision.HIGH)
+    out = jnp.einsum("bncjl,jlm->bcnm", y.astype(jnp.bfloat16),
+                     jnp.asarray(Pinv, jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
     return out.reshape(b, c, h, w)
 
 
@@ -203,16 +213,20 @@ def _global_mixer_cm(x, p):
     return jnp.abs(irfft2_pair_cm(real, imag, s=(h, w), norm="backward"))
 
 
-def _ffn_cm(x, p, eps=1e-5):
-    from lgteun_tpu.ops.ffn_kernel import fused_ln_ffn_cm, ln_ffn_xla
-
-    flat = {
+def _ffn_flat(p):
+    return {
         "ln_gamma": p["ln_gamma"], "ln_beta": p["ln_beta"],
         "w1": p["w1"][0, 0], "b1": p["b1"],
         "w2": p["w2"][0, 0], "b2": p["b2"],
         "dw": p["dw"][:, :, 0], "bdw": p["bdw"],
         "w3": p["w3"][0, 0], "b3": p["b3"],
     }
+
+
+def _ffn_cm(x, p, eps=1e-5):
+    from lgteun_tpu.ops.ffn_kernel import fused_ln_ffn_cm, ln_ffn_xla
+
+    flat = _ffn_flat(p)
     if (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
             and not _parity_grade()):
         return fused_ln_ffn_cm(x, flat, eps=eps)  # includes the +x residual
@@ -223,14 +237,24 @@ def _ffn_cm(x, p, eps=1e-5):
 def _lgb_cm(x, p, num_blocks, win, heads):
     c = x.shape[1]
     half = c // 2
+    fuse_tail = (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
+                 and not _parity_grade())
     for i in range(num_blocks):
         y = _ln_cm(x, p[f"norm_mix_{i}"]["scale"], p[f"norm_mix_{i}"]["bias"])
         mx = p[f"mixer_{i}"]
         x1 = _local_mixer_cm(y[:, :half], mx["local"], win, heads)
         x2 = _global_mixer_cm(y[:, half:], mx["global"])
-        mixed = _pointconv_cm(jnp.concatenate([x1, x2], axis=1), mx["proj"])
-        x = x + mixed
-        x = _ffn_cm(x, p[f"ffn_{i}"])
+        if fuse_tail:
+            from lgteun_tpu.ops.ffn_kernel import fused_block_tail_cm
+
+            x = fused_block_tail_cm(
+                x, x1, x2, mx["proj"]["Conv_0"]["Conv_0"]["kernel"][0, 0],
+                mx["proj"]["Conv_0"]["Conv_0"]["bias"], _ffn_flat(p[f"ffn_{i}"]))
+        else:
+            mixed = _pointconv_cm(jnp.concatenate([x1, x2], axis=1),
+                                  mx["proj"])
+            x = x + mixed
+            x = _ffn_cm(x, p[f"ffn_{i}"])
     return x
 
 

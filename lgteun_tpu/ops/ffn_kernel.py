@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_ln_ffn", "fused_ln_ffn_cm", "ln_ffn_xla"]
+__all__ = ["fused_ln_ffn", "fused_ln_ffn_cm", "fused_block_tail_cm",
+           "ln_ffn_xla"]
 
 
 def ln_ffn_xla(x, params, eps=1e-5, dtype=None):
@@ -174,6 +175,152 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
 
         out = mm(w3t[:], acc, b3)  # [c, th*w]
         out_ref[0, :, lo:hi] = (out + xi[:, lo:hi]).astype(out_ref.dtype)
+
+
+def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
+                 w2t, b2, dw, bdw, w3t, b3, out_ref, *, th, w, c, c4, h_img,
+                 eps):
+    """Block-tail: xm = x + proj([x1; x2]); out = xm + FFN(LN(xm)).
+
+    Same whole-image-per-program structure as `_kernel`; the 1x1 proj
+    and the mixer residual are recomputed per tile INCLUDING the two
+    halo rows (proj is pointwise, so halo xm rows are exact), which
+    keeps only x/x1/x2 resident instead of a fourth xm image."""
+    xi = x_ref[0]    # [c, h*w]
+    x1i = x1_ref[0]  # [c//2, h*w]
+    x2i = x2_ref[0]
+    nt = h_img // th
+    n_all = (th + 2) * w
+    ch = c // 2
+
+    def mm(wt, t, bias=None):
+        out = jax.lax.dot_general(
+            wt, t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out if bias is None else out + bias[:]
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_all), 1)
+    col_all = lane_ids % w
+    left_edge = col_all == 0
+    right_edge = col_all == w - 1
+
+    for ti in range(nt):
+        lo, hi = ti * th * w, (ti + 1) * th * w
+
+        def seg_of(img, cc):
+            top = (img[:, lo - w:lo] if ti > 0
+                   else jnp.zeros((cc, w), jnp.float32))
+            bot = (img[:, hi:hi + w] if ti < nt - 1
+                   else jnp.zeros((cc, w), jnp.float32))
+            return jnp.concatenate([top, img[:, lo:hi], bot], axis=1)
+
+        xm = (seg_of(xi, c) + mm(wp1t[:], seg_of(x1i, ch))
+              + mm(wp2t[:], seg_of(x2i, ch)) + bp[:])
+
+        mu = jnp.mean(xm, axis=0, keepdims=True)
+        var = jnp.mean((xm - mu) ** 2, axis=0, keepdims=True)
+        y = (xm - mu) * jax.lax.rsqrt(var + eps)
+        y = y * ln_g[:] + ln_b[:]
+
+        h1 = _gelu_exact(mm(w1t[:], y, b1))
+        h2 = mm(w2t[:], h1, b2)
+
+        if ti == 0 or ti == nt - 1:
+            ok = jnp.ones((1, n_all), jnp.bool_)
+            if ti == 0:
+                ok = ok & (lane_ids >= w)
+            if ti == nt - 1:
+                ok = ok & (lane_ids < n_all - w)
+            h2 = jnp.where(ok, h2, 0.0)
+
+        h2_l = jnp.where(left_edge, 0.0, pltpu.roll(h2, 1, 1))
+        h2_r = jnp.where(right_edge, 0.0, pltpu.roll(h2, n_all - 1, 1))
+        acc = jnp.zeros((c4, th * w), jnp.float32)
+        for dr in range(3):
+            a, b = dr * w, dr * w + th * w
+            for dc, buf in ((0, h2_l), (1, h2), (2, h2_r)):
+                acc = acc + buf[:, a:b] * dw[:, 3 * dr + dc][:, None]
+        acc = _gelu_exact(acc + bdw[:])
+
+        out = mm(w3t[:], acc, b3)
+        # seg_of always prepends one halo row (zeros at the image top),
+        # so the tile's interior starts at column w unconditionally
+        interior = xm[:, w:w + th * w]
+        out_ref[0, :, lo:hi] = (out + interior).astype(out_ref.dtype)
+
+
+def block_tail_xla(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias, ffn_params,
+                   eps=1e-5):
+    """XLA reference for the fused block tail, channel-major [B,C,H,W]:
+    xm = x + 1x1conv([x1; x2]); return xm + FFN(LN(xm))."""
+    cat = jnp.concatenate([x1_cm, x2_cm], axis=1)
+    mixed = (jnp.einsum("bchw,cd->bdhw", cat, proj_kernel)
+             + proj_bias[None, :, None, None])
+    xm = x_cm + mixed
+    y = ln_ffn_xla(jnp.moveaxis(xm, 1, -1), ffn_params, eps=eps)
+    return jnp.moveaxis(y, -1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
+def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
+                        ffn_params, *, eps: float = 1e-5,
+                        tile_rows: int = 32, interpret: bool = False):
+    """Fused LGB block tail on channel-major [B, C, H, W]:
+
+        xm  = x + proj([x1; x2])      (the mixer 1x1 proj + residual)
+        out = xm + FFN(LN(xm))        (the `fused_ln_ffn` chain)
+
+    proj_kernel [C, C] / proj_bias [C] are the PointConv params; x1/x2
+    are the local/global mixer halves [B, C/2, H, W]. Eliminates the
+    concat + proj + residual XLA pass between the mixers and the FFN
+    kernel (~0.6 GB HBM per full-res block at headline shapes).
+    Inference path (training uses the XLA composition)."""
+    b, c, h, w = x_cm.shape
+    c4 = ffn_params["w1"].shape[-1]
+    ch = c // 2
+    th = tile_rows
+    while h % th:
+        th //= 2
+
+    kernel = functools.partial(_tail_kernel, th=th, w=w, c=c, c4=c4,
+                               h_img=h, eps=eps)
+    col = lambda p: p.reshape(-1, 1)
+    const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
+                                     memory_space=pltpu.VMEM)
+    img = lambda cc: pl.BlockSpec((1, cc, h * w), lambda bi: (bi, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), x_cm.dtype),
+        grid=(b,),
+        in_specs=[
+            img(c), img(ch), img(ch),
+            const((c, ch)),   # proj1^T
+            const((c, ch)),   # proj2^T
+            const((c, 1)),    # proj bias
+            const((c, 1)),    # ln_gamma
+            const((c, 1)),    # ln_beta
+            const((c4, c)),   # w1^T
+            const((c4, 1)),   # b1
+            const((c4, c4)),  # w2^T
+            const((c4, 1)),   # b2
+            const((c4, 9)),   # dw
+            const((c4, 1)),   # bdw
+            const((c, c4)),   # w3^T
+            const((c, 1)),    # b3
+        ],
+        out_specs=pl.BlockSpec((1, c, h * w), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(x_cm.reshape(b, c, h * w), x1_cm.reshape(b, ch, h * w),
+      x2_cm.reshape(b, ch, h * w),
+      proj_kernel[:ch].T, proj_kernel[ch:].T, col(proj_bias),
+      col(ffn_params["ln_gamma"]), col(ffn_params["ln_beta"]),
+      ffn_params["w1"].T, col(ffn_params["b1"]),
+      ffn_params["w2"].T, col(ffn_params["b2"]),
+      ffn_params["dw"].reshape(9, c4).T, col(ffn_params["bdw"]),
+      ffn_params["w3"].T, col(ffn_params["b3"]))
+    return out.reshape(b, c, h, w)
 
 
 @jax.custom_vjp
