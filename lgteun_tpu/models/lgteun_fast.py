@@ -237,20 +237,29 @@ def _ffn_cm(x, p, eps=1e-5):
 def _lgb_cm(x, p, num_blocks, win, heads):
     c = x.shape[1]
     half = c // 2
-    fuse_tail = (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
-                 and not _parity_grade())
+    fused = (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
+             and not _parity_grade())
     for i in range(num_blocks):
-        y = _ln_cm(x, p[f"norm_mix_{i}"]["scale"], p[f"norm_mix_{i}"]["bias"])
         mx = p[f"mixer_{i}"]
-        x1 = _local_mixer_cm(y[:, :half], mx["local"], win, heads)
-        x2 = _global_mixer_cm(y[:, half:], mx["global"])
-        if fuse_tail:
+        if fused:
             from lgteun_tpu.ops.ffn_kernel import fused_block_tail_cm
+            from lgteun_tpu.ops.spectral_kernel import fused_ln_mixer_head_cm
 
+            g = mx["global"]
+            y1, x2 = fused_ln_mixer_head_cm(
+                x, p[f"norm_mix_{i}"]["scale"], p[f"norm_mix_{i}"]["bias"],
+                g["amp_scale"][0, 0, 0], g["amp_bias"],
+                g["pha_scale"][0, 0, 0], g["pha_bias"])
+            x1 = _local_mixer_cm(y1, mx["local"], win, heads)
             x = fused_block_tail_cm(
                 x, x1, x2, mx["proj"]["Conv_0"]["Conv_0"]["kernel"][0, 0],
-                mx["proj"]["Conv_0"]["Conv_0"]["bias"], _ffn_flat(p[f"ffn_{i}"]))
+                mx["proj"]["Conv_0"]["Conv_0"]["bias"],
+                _ffn_flat(p[f"ffn_{i}"]))
         else:
+            y = _ln_cm(x, p[f"norm_mix_{i}"]["scale"],
+                       p[f"norm_mix_{i}"]["bias"])
+            x1 = _local_mixer_cm(y[:, :half], mx["local"], win, heads)
+            x2 = _global_mixer_cm(y[:, half:], mx["global"])
             mixed = _pointconv_cm(jnp.concatenate([x1, x2], axis=1),
                                   mx["proj"])
             x = x + mixed

@@ -39,7 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_global_mixer_cm", "global_mixer_xla_cm"]
+__all__ = ["fused_global_mixer_cm", "fused_ln_mixer_head_cm",
+           "global_mixer_xla_cm", "ln_mixer_head_xla_cm"]
 
 # atan(t)/t as a polynomial in t^2 on [0, 1]; weighted-minimax LS fit,
 # max |atan err| 5.8e-9
@@ -193,6 +194,79 @@ def fused_global_mixer_cm(x, amp_scale, amp_bias, pha_scale, pha_bias, *,
         interpret=interpret or jax.default_backend() != "tpu",
     )(x, col(amp_scale), col(amp_bias), col(pha_scale), col(pha_bias),
       *(jnp.asarray(m) for m in mats))
+
+
+def _head_kernel(x_ref, lng_ref, lnb_ref, asc_ref, abi_ref, psc_ref,
+                 pbi_ref, wc, ws, hc, hs, hic, his, wic, wis, y1_ref,
+                 x2_ref, *, c, h, w, eps):
+    """LGB mixer head: y = LN(x); y1 = y[:C/2] (local-attention input);
+    x2 = global_mixer(y[C/2:]). One HBM read of x, no LN materialise,
+    no separate mixer-half read."""
+    xi = x_ref[0]  # [c, h, w]
+    mu = jnp.mean(xi, axis=0, keepdims=True)
+    var = jnp.mean((xi - mu) ** 2, axis=0, keepdims=True)
+    y = (xi - mu) * jax.lax.rsqrt(var + eps)
+    col3 = lambda p: p[...].reshape(-1, 1, 1)
+    y = y * col3(lng_ref) + col3(lnb_ref)
+    c2 = c // 2
+    y1_ref[0] = y[:c2].astype(y1_ref.dtype)
+    out = mixer_body(y[c2:], col3(asc_ref), col3(abi_ref), col3(psc_ref),
+                     col3(pbi_ref),
+                     tuple(m[:] for m in (wc, ws, hc, hs, hic, his, wic,
+                                          wis)), c=c2, h=h, w=w)
+    x2_ref[0] = out.astype(x2_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_mixer_head_cm(x, ln_scale, ln_bias, amp_scale, amp_bias,
+                           pha_scale, pha_bias, *, eps: float = 1e-5,
+                           interpret: bool = False):
+    """Fused LGB mixer head on channel-major [B, C, H, W]:
+
+        y  = LN(x)                     (channel LayerNorm, per pixel)
+        y1 = y[:, :C/2]                (-> window-attention input)
+        x2 = global_mixer(y[:, C/2:])  (the whole DFT amp/phase chain)
+
+    Returns (y1, x2), each [B, C/2, H, W]. ln_scale/ln_bias: [C];
+    amp/pha params: [C/2]. Saves the XLA LN pass and the mixer half's
+    HBM round trip vs LN + `fused_global_mixer_cm`."""
+    b, c, h, w = x.shape
+    c2 = c // 2
+    mats = _mixer_mats(h, w)
+    kernel = functools.partial(_head_kernel, c=c, h=h, w=w, eps=eps)
+    col = lambda p: p.reshape(-1, 1)
+    const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
+                                     memory_space=pltpu.VMEM)
+    img = lambda cc: pl.BlockSpec((1, cc, h, w), lambda bi: (bi, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    y1, x2 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, c2, h, w), x.dtype),
+                   jax.ShapeDtypeStruct((b, c2, h, w), x.dtype)),
+        grid=(b,),
+        in_specs=[
+            img(c),
+            const((c, 1)), const((c, 1)),
+            const((c2, 1)), const((c2, 1)), const((c2, 1)), const((c2, 1)),
+        ] + [const((m.shape[0], m.shape[1])) for m in mats],
+        out_specs=(img(c2), img(c2)),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(x, col(ln_scale), col(ln_bias), col(amp_scale), col(amp_bias),
+      col(pha_scale), col(pha_bias), *(jnp.asarray(m) for m in mats))
+    return y1, x2
+
+
+def ln_mixer_head_xla_cm(x, ln_scale, ln_bias, amp_scale, amp_bias,
+                         pha_scale, pha_bias, eps: float = 1e-5):
+    """XLA reference for the fused mixer head (identical semantics)."""
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale[None, :, None, None] + ln_bias[None, :, None, None]
+    c2 = x.shape[1] // 2
+    x2 = global_mixer_xla_cm(y[:, c2:], amp_scale, amp_bias,
+                             pha_scale, pha_bias)
+    return y[:, :c2], x2
 
 
 def global_mixer_xla_cm(x, amp_scale, amp_bias, pha_scale, pha_bias):

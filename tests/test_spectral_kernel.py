@@ -70,6 +70,41 @@ def test_zero_bin_convention(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(2, 32, 64, 64), (1, 16, 128, 128)])
+def test_ln_mixer_head_matches_xla(rng, shape):
+    """Fused LN+split+mixer head vs the XLA composition: the LN'd
+    local half must match tightly (pure elementwise); the mixed global
+    half within the same f64-envelope logic as the mixer test."""
+    from lgteun_tpu.ops.spectral_kernel import (fused_ln_mixer_head_cm,
+                                                ln_mixer_head_xla_cm)
+
+    b, c, h, w = shape
+    c2 = c // 2
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    lng = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    asc = jnp.asarray(rng.standard_normal(c2), jnp.float32)
+    abi = jnp.asarray(rng.standard_normal(c2) * 0.1, jnp.float32)
+    psc = jnp.asarray(rng.standard_normal(c2), jnp.float32)
+    pbi = jnp.asarray(rng.standard_normal(c2) * 0.1, jnp.float32)
+
+    want_y1, want_x2 = ln_mixer_head_xla_cm(x, lng, lnb, asc, abi, psc, pbi)
+    got_y1, got_x2 = fused_ln_mixer_head_cm(x, lng, lnb, asc, abi, psc, pbi,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got_y1), np.asarray(want_y1),
+                               atol=1e-5, rtol=1e-5)
+    # mixer half: compare both to the f64 oracle of the LN'd input
+    mu = np.mean(np.asarray(x, np.float64), axis=1, keepdims=True)
+    var = np.var(np.asarray(x, np.float64), axis=1, keepdims=True)
+    yo = (np.asarray(x, np.float64) - mu) / np.sqrt(var + 1e-5)
+    yo = (yo * np.asarray(lng, np.float64)[None, :, None, None]
+          + np.asarray(lnb, np.float64)[None, :, None, None])
+    oracle = _mixer_oracle_f64(yo[:, c2:], asc, abi, psc, pbi)
+    xla_env = np.abs(np.asarray(want_x2) - oracle).max()
+    fused_env = np.abs(np.asarray(got_x2) - oracle).max()
+    assert fused_env <= max(3.0 * xla_env, 1e-4), (fused_env, xla_env)
+
+
 def test_atan2_poly_accuracy(rng):
     from lgteun_tpu.ops.spectral_kernel import _atan2
 
