@@ -237,7 +237,10 @@ def _ffn_cm(x, p, eps=1e-5):
 def _lgb_cm(x, p, num_blocks, win, heads):
     c = x.shape[1]
     half = c // 2
-    fused = (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
+    # full-res (W%128) blocks run the row-tiled tail kernel; the 64x64
+    # bottleneck (H*W%128) runs the whole-image roll-based variant
+    fused = (jax.default_backend() == "tpu"
+             and (x.shape[-2] * x.shape[-1]) % 128 == 0
              and not _parity_grade())
     for i in range(num_blocks):
         mx = p[f"mixer_{i}"]

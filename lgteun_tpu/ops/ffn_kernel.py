@@ -249,6 +249,58 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
         out_ref[0, :, lo:hi] = (out + interior).astype(out_ref.dtype)
 
 
+def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
+                       w1t, b1, w2t, b2, dw, bdw, w3t, b3, out_ref, *, w, c,
+                       c4, n, eps):
+    """Whole-image, roll-based variant of `_tail_kernel` for images
+    whose row length W is not a multiple of the 128-lane tile (the
+    64x64 bottleneck scale). Halo lane-slices at W-offsets would be
+    unaligned (Mosaic rejects lane-offset concats), so instead the
+    depthwise 3x3 runs as 9 lane-rolls of the WHOLE [c4, h*w] buffer
+    with row/column edge masks — rolls take any shift, and no slice or
+    concat ever crosses a lane boundary. One pass, no row tiling
+    (VMEM: the bottleneck image is 1/4 the pixels of the full-res
+    tiles)."""
+    xi = x_ref[0]
+
+    def mm(wt, t, bias=None):
+        out = jax.lax.dot_general(
+            wt, t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out if bias is None else out + bias[:]
+
+    xm = xi + mm(wp1t[:], x1_ref[0]) + mm(wp2t[:], x2_ref[0]) + bp[:]
+
+    mu = jnp.mean(xm, axis=0, keepdims=True)
+    var = jnp.mean((xm - mu) ** 2, axis=0, keepdims=True)
+    y = (xm - mu) * jax.lax.rsqrt(var + eps)
+    y = y * ln_g[:] + ln_b[:]
+
+    h1 = _gelu_exact(mm(w1t[:], y, b1))
+    h2 = mm(w2t[:], h1, b2)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    col = lane_ids % w
+    row_ok = (None, lane_ids >= w, lane_ids < n - w)      # dr-1 = 0,-1,+1
+    col_ok = (None, col > 0, col < w - 1)                 # dc-1 = 0,-1,+1
+    acc = jnp.zeros((c4, n), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            o = (dr - 1) * w + (dc - 1)   # acc[n] += h2[n + o] * dw
+            t = pltpu.roll(h2, (-o) % n, 1) if o else h2
+            okr = row_ok[0 if dr == 1 else (1 if dr == 0 else 2)]
+            okc = col_ok[0 if dc == 1 else (1 if dc == 0 else 2)]
+            ok = okr if okc is None else (
+                okc if okr is None else okr & okc)
+            if ok is not None:
+                t = jnp.where(ok, t, 0.0)
+            acc = acc + t * dw[:, 3 * dr + dc][:, None]
+    acc = _gelu_exact(acc + bdw[:])
+
+    out = mm(w3t[:], acc, b3)
+    out_ref[0] = (out + xm).astype(out_ref.dtype)
+
+
 def block_tail_xla(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias, ffn_params,
                    eps=1e-5):
     """XLA reference for the fused block tail, channel-major [B,C,H,W]:
@@ -274,16 +326,26 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
     are the local/global mixer halves [B, C/2, H, W]. Eliminates the
     concat + proj + residual XLA pass between the mixers and the FFN
     kernel (~0.6 GB HBM per full-res block at headline shapes).
-    Inference path (training uses the XLA composition)."""
+    Inference path (training uses the XLA composition).
+
+    Row length W a multiple of 128 runs the row-tiled kernel (halo rows
+    are aligned lane slices); other lane-tile-aligned images (H*W % 128
+    == 0, e.g. the 64x64 bottleneck) run the whole-image roll-based
+    variant."""
     b, c, h, w = x_cm.shape
     c4 = ffn_params["w1"].shape[-1]
     ch = c // 2
-    th = tile_rows
-    while h % th:
-        th //= 2
-
-    kernel = functools.partial(_tail_kernel, th=th, w=w, c=c, c4=c4,
-                               h_img=h, eps=eps)
+    if w % 128 == 0:
+        th = tile_rows
+        while h % th:
+            th //= 2
+        kernel = functools.partial(_tail_kernel, th=th, w=w, c=c, c4=c4,
+                                   h_img=h, eps=eps)
+    elif (h * w) % 128 == 0:
+        kernel = functools.partial(_tail_kernel_rolls, w=w, c=c, c4=c4,
+                                   n=h * w, eps=eps)
+    else:
+        raise ValueError(f"image {h}x{w} is not lane-tile aligned")
     col = lambda p: p.reshape(-1, 1)
     const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)

@@ -66,6 +66,28 @@ def test_block_tail_matches_xla(rng, b, h, w, c, c4, tr):
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.parametrize("b,h,w,c,c4", [(2, 8, 16, 16, 64),
+                                        (1, 16, 16, 32, 128)])
+def test_block_tail_rolls_matches_xla(rng, b, h, w, c, c4):
+    """Whole-image roll-based tail variant (W not a multiple of 128,
+    H*W lane-tile aligned — the bottleneck-scale path)."""
+    from lgteun_tpu.ops.ffn_kernel import block_tail_xla, fused_block_tail_cm
+
+    x = rng.standard_normal((b, c, h, w)).astype(np.float32)
+    x[:, :, 0] += 5.0
+    x[:, :, :, -1] -= 5.0
+    x1 = rng.standard_normal((b, c // 2, h, w)).astype(np.float32)
+    x2 = rng.standard_normal((b, c // 2, h, w)).astype(np.float32)
+    pk = (rng.standard_normal((c, c)) * 0.1).astype(np.float32)
+    pb = (rng.standard_normal(c) * 0.1).astype(np.float32)
+    params = {k: jax.numpy.asarray(v) for k, v in _params(rng, c, c4).items()}
+
+    want = np.asarray(block_tail_xla(x, x1, x2, pk, pb, params))
+    got = np.asarray(fused_block_tail_cm(x, x1, x2, pk, pb, params,
+                                         interpret=True))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
 def test_fused_ffn_differentiable(rng):
     """custom_vjp: grads flow through the fused op (XLA backward)."""
     import jax.numpy as jnp
