@@ -88,12 +88,36 @@ def main():
     }))
 
 
-if __name__ == "__main__":
-    try:
-        main()
-    except Exception:  # transient tunnel/worker hiccups: one retry
-        import traceback
+def _run_guarded():
+    """Run main() in a subprocess with a hard timeout and retries.
 
-        traceback.print_exc()
-        time.sleep(30)
-        main()
+    The TPU is reached through a tunnel that can hang *inside* backend
+    initialization (observed: jax.devices() blocking >10 min) — an
+    in-process try/except can't recover from that, so each attempt is
+    a separate watchdog'd process. The last attempt's JSON line (if
+    any) is relayed to stdout for the driver."""
+    import subprocess
+    import sys
+
+    attempts, per_attempt_s = 4, 420
+    for i in range(attempts):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", "from bench import main; main()"],
+                capture_output=True, text=True, timeout=per_attempt_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in res.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            sys.stderr.write(res.stderr[-2000:] + "\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {i + 1}/{attempts}: timed out "
+                             f"after {per_attempt_s}s (tunnel hang?)\n")
+        if i < attempts - 1:
+            time.sleep(45)
+    raise SystemExit("bench: all attempts failed")
+
+
+if __name__ == "__main__":
+    _run_guarded()
