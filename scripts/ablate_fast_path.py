@@ -54,18 +54,6 @@ def timed(fn, ms, pan, iters=16):
     return (t2 - t1) / iters * 1000
 
 
-@contextlib.contextmanager
-def stubbed(**stubs):
-    saved = {k: getattr(F, k) for k in stubs}
-    try:
-        for k, v in stubs.items():
-            setattr(F, k, v)
-        yield
-    finally:
-        for k, v in saved.items():
-            setattr(F, k, v)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=96)
@@ -85,18 +73,35 @@ def main():
     print(f"full fast path      : {full:7.2f} ms/batch "
           f"({b * 128 * 128 / full / 1000:.1f} MP/s)")
 
-    id_ffn = lambda x, p, eps=1e-5: x
-    id_mix = lambda x, p, win, heads: x
-    id_glob = lambda x, p: x
+    # the fused trunk calls three kernel seams per LGB block:
+    # head (LN+split+DFT mixer), local attention, block tail
+    # (proj+residual+LN+FFN) — stub each at its defining module (the
+    # trunk imports them inside _lgb_cm, so patch the ops modules)
+    from lgteun_tpu.ops import ffn_kernel as FK
+    from lgteun_tpu.ops import spectral_kernel as SK
 
-    for label, stubs in [
-        ("- FFN blocks", dict(_ffn_cm=id_ffn)),
-        ("- local attention", dict(_local_mixer_cm=id_mix)),
-        ("- global (DFT) mixer", dict(_global_mixer_cm=id_glob)),
-        ("- all three", dict(_ffn_cm=id_ffn, _local_mixer_cm=id_mix,
-                             _global_mixer_cm=id_glob)),
+    id_head = lambda x, *a, **k: (x[:, :x.shape[1] // 2],
+                                  x[:, x.shape[1] // 2:])
+    id_tail = lambda x, x1, x2, pk, pb, fp, **k: x
+    id_mix = lambda x, p, win, heads: x
+
+    @contextlib.contextmanager
+    def stubbed_at(mod, **stubs):
+        saved = {k: getattr(mod, k) for k in stubs}
+        try:
+            for k, v in stubs.items():
+                setattr(mod, k, v)
+            yield
+        finally:
+            for k, v in saved.items():
+                setattr(mod, k, v)
+
+    for label, mod, stubs in [
+        ("- mixer head kernel", SK, dict(fused_ln_mixer_head_cm=id_head)),
+        ("- local attention", F, dict(_local_mixer_cm=id_mix)),
+        ("- block tail kernel", FK, dict(fused_block_tail_cm=id_tail)),
     ]:
-        with stubbed(**stubs):
+        with stubbed_at(mod, **stubs):
             t = timed(fwd, ms, pan)
         print(f"{label:20s}: {t:7.2f} ms/batch  (component ~{full - t:5.2f} ms)")
 
