@@ -95,26 +95,39 @@ def _run_guarded():
     initialization (observed: jax.devices() blocking >10 min) — an
     in-process try/except can't recover from that, so each attempt is
     a separate watchdog'd process. The last attempt's JSON line (if
-    any) is relayed to stdout for the driver."""
+    any) is relayed to stdout for the driver.
+
+    Attempts ladder down LGTEUN_FUSE_LEVEL (see `lgteun_tpu.ops
+    .fuse_level`): two tries with every fused kernel, then the
+    on-chip-proven kernel subset, then plain XLA — so a Mosaic
+    regression in one new kernel degrades the number instead of
+    zeroing the benchmark."""
     import subprocess
     import sys
 
-    attempts, per_attempt_s = 4, 420
-    for i in range(attempts):
+    per_attempt_s = 420
+    fuse_ladder = (2, 2, 1, 1, 0)
+    for i, level in enumerate(fuse_ladder):
+        env = dict(os.environ, LGTEUN_FUSE_LEVEL=str(level))
         try:
             res = subprocess.run(
                 [sys.executable, "-c", "from bench import main; main()"],
                 capture_output=True, text=True, timeout=per_attempt_s,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
+                cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
             for line in res.stdout.splitlines():
                 if line.startswith("{"):
+                    if level < 2:
+                        sys.stderr.write(f"bench: degraded to fuse level "
+                                         f"{level}\n")
                     print(line)
                     return
             sys.stderr.write(res.stderr[-2000:] + "\n")
         except subprocess.TimeoutExpired:
-            sys.stderr.write(f"bench attempt {i + 1}/{attempts}: timed out "
-                             f"after {per_attempt_s}s (tunnel hang?)\n")
-        if i < attempts - 1:
+            sys.stderr.write(
+                f"bench attempt {i + 1}/{len(fuse_ladder)} (fuse level "
+                f"{level}): timed out after {per_attempt_s}s (tunnel "
+                f"hang?)\n")
+        if i < len(fuse_ladder) - 1:
             time.sleep(45)
     raise SystemExit("bench: all attempts failed")
 

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lgteun_tpu.ops import fuse_level
 from lgteun_tpu.ops.fft import irfft2_pair_cm, rfft2_pair_cm
 from lgteun_tpu.ops.resize import sample_scale, sample_scale_cm
 
@@ -176,11 +177,12 @@ def _local_mixer_cm(x, p, win, heads):
     wqkv = p["to_qkv_kernel"][0, 0]  # [C, 3C]
     bqkv = p["to_qkv_bias"]
     if (jax.default_backend() == "tpu" and (w // win) % 2 == 0
-            and not _parity_grade()):
+            and not _parity_grade() and fuse_level() >= 1):
         xp = _window_pairs_mm(x, win)  # [N/2, C, 2S] — full 128 lanes
         out = fused_window_attention_v3_packed(xp, wqkv, bqkv,
                                                p["pos_emb"], heads=heads,
-                                               scale=scale)
+                                               scale=scale,
+                                               tanh_exp=fuse_level() >= 2)
         return _unwindow_pairs_mm(out, win, (h, w), b)
     xt = _windows_cm(x, win)  # [N, C, S]
     out = window_attention_xla(xt.transpose(0, 2, 1), wqkv, bqkv,
@@ -192,7 +194,8 @@ def _local_mixer_cm(x, p, win, heads):
 def _global_mixer_cm(x, p):
     """FFT amp/phase mixer, channel-major (exact forward values incl.
     the zero-bin convention and the reference's epsilons)."""
-    if jax.default_backend() == "tpu" and not _parity_grade():
+    if (jax.default_backend() == "tpu" and not _parity_grade()
+            and fuse_level() >= 2):
         from lgteun_tpu.ops.spectral_kernel import fused_global_mixer_cm
 
         return fused_global_mixer_cm(
@@ -228,7 +231,7 @@ def _ffn_cm(x, p, eps=1e-5):
 
     flat = _ffn_flat(p)
     if (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
-            and not _parity_grade()):
+            and not _parity_grade() and fuse_level() >= 1):
         return fused_ln_ffn_cm(x, flat, eps=eps)  # includes the +x residual
     y = ln_ffn_xla(jnp.moveaxis(x, 1, -1), flat, eps=eps)
     return jnp.moveaxis(y, -1, 1)
@@ -241,7 +244,7 @@ def _lgb_cm(x, p, num_blocks, win, heads):
     # bottleneck (H*W%128) runs the whole-image roll-based variant
     fused = (jax.default_backend() == "tpu"
              and (x.shape[-2] * x.shape[-1]) % 128 == 0
-             and not _parity_grade())
+             and not _parity_grade() and fuse_level() >= 2)
     for i in range(num_blocks):
         mx = p[f"mixer_{i}"]
         if fused:

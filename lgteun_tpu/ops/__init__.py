@@ -1,3 +1,28 @@
+import os as _os
+
+
+def fuse_level() -> int:
+    """Staged kernel-fusion level for the TPU inference fast path
+    (env LGTEUN_FUSE_LEVEL, read at trace time):
+
+      2 (default)  every fused Pallas kernel: LN+mixer head, packed
+                   window attention with tanh-form softmax, block tail
+                   (row-tiled and roll-based), fused global mixer
+      1            the on-chip-proven subset only: packed v3 window
+                   attention (exp softmax), fused LN+FFN; the mixer
+                   head / block tail / global-mixer kernels fall back
+                   to their XLA compositions
+      0            no Pallas kernels — plain XLA channel-major trunk
+
+    Exists as a reliability ladder: bench.py retries a failed run at a
+    lower level so a Mosaic regression in one kernel can never zero out
+    the benchmark (each level is strictly more conservative)."""
+    try:
+        return int(_os.environ.get("LGTEUN_FUSE_LEVEL", "2"))
+    except ValueError:
+        return 2
+
+
 from lgteun_tpu.ops.resize import (  # noqa: F401
     resize_bicubic,
     resize_bilinear,

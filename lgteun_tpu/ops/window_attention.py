@@ -221,7 +221,7 @@ def _exp_from_tanh(x):
 
 
 def _kernel_v3(x_ref, wqkv_ref, bqkv_ref, pos2_ref, out_ref, *, heads,
-               seq2, wpb, scale):
+               seq2, wpb, scale, tanh_exp):
     """Two windows packed side-by-side on the lane axis (seq2 = 2*S =
     128 lanes — v2 used only 64 of 128). The position table is
     block-diagonal with -1e9 off-diagonal blocks, so the softmax over
@@ -254,7 +254,7 @@ def _kernel_v3(x_ref, wqkv_ref, bqkv_ref, pos2_ref, out_ref, *, heads,
         # lane-reduce + broadcast per row; the exp it buys back is the
         # kernel's dominant VPU cost)
         sim = sim - jnp.max(sim, axis=-1, keepdims=True)
-        e = _exp_from_tanh(sim)
+        e = _exp_from_tanh(sim) if tanh_exp else jnp.exp(sim)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)
         out_h = jax.lax.dot_general(
             v, attn,
@@ -264,13 +264,18 @@ def _kernel_v3(x_ref, wqkv_ref, bqkv_ref, pos2_ref, out_ref, *, heads,
     out_ref[:] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
+                                             "tanh_exp"))
 def fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, *, heads: int,
                                      scale: float,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     tanh_exp: bool = True):
     """xp [N2, C, 2S]: window PAIRS packed on the lane axis (2S = 128
     for the 8x8 windows) -> [N2, C, 2S]. ~2x the MXU/VPU lane
-    utilisation of the v2 kernel on S=64 windows."""
+    utilisation of the v2 kernel on S=64 windows.
+
+    tanh_exp=False reverts the softmax to Mosaic's plain exp (the
+    fuse-level-1 reliability fallback, see ops.fuse_level)."""
     n2, c, s2 = xp.shape
     wpb = 1
     for cand in (64, 32, 16, 8, 4, 2):
@@ -286,7 +291,7 @@ def fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, *, heads: int,
     w_b = jnp.broadcast_to(wqkv.T[None], (wpb, 3 * c, c))
 
     kernel = functools.partial(_kernel_v3, heads=heads, seq2=s2, wpb=wpb,
-                               scale=scale)
+                               scale=scale, tanh_exp=tanh_exp)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n2, c, s2), xp.dtype),

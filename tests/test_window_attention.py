@@ -26,9 +26,12 @@ def test_fused_matches_xla(rng, n, s, c, heads):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
-def test_packed_v3_matches_xla(rng):
+@pytest.mark.parametrize("tanh_exp", [True, False])
+def test_packed_v3_matches_xla(rng, tanh_exp):
     """2-window lane-packed kernel (interpret mode): block-diag -1e9
-    position masking must reproduce per-window attention exactly."""
+    position masking must reproduce per-window attention exactly —
+    with both softmax forms (tanh-form exp, and the fuse-level-1
+    plain-exp fallback)."""
     import functools
 
     import jax
@@ -51,7 +54,8 @@ def test_packed_v3_matches_xla(rng):
     xp = xw.reshape(n // 2, 2, s, c).transpose(0, 3, 1, 2).reshape(
         n // 2, c, 2 * s)
     got = fused_window_attention_v3_packed(xp, wqkv, bqkv, pos,
-                                           heads=heads, scale=scale)
+                                           heads=heads, scale=scale,
+                                           tanh_exp=tanh_exp)
     got = got.reshape(n // 2, c, 2, s).transpose(0, 2, 3, 1).reshape(n, s, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
