@@ -26,6 +26,7 @@ image-edge zero-padding semantics.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -105,8 +106,66 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + erf)
 
 
+def _taps_mode() -> str:
+    """Depthwise-tap engine for the fused FFN kernels (env
+    LGTEUN_FFN_TAPS, resolved at the non-jitted kernel entries):
+
+      'vpu' (default)  9 shifted multiply-adds on the VPU (f32)
+      'mxu'            3 block-diagonal [c4, 3c4] matmuls against a
+                       sublane-stacked [h2_left; h2; h2_right] buffer —
+                       moves the tap arithmetic onto the (mostly idle)
+                       MXU at the cost of one sublane concat and the
+                       Mosaic dot's bf16 operand rounding (same class
+                       as the kernel's other matmuls; inference only)
+
+    Exists for on-chip ablation of the tap engines (profiling put ~25%
+    of the fused FFN kernel in the VPU tap loop)."""
+    mode = _os.environ.get("LGTEUN_FFN_TAPS", "vpu").lower()
+    return mode if mode in ("vpu", "mxu") else "vpu"
+
+
+def _mxu_tap_weights(dw):
+    """dw [3, 3, c4] -> [3, c4, 3*c4]: per-row-offset block-diagonal
+    matrices W_dr = [diag(dw[dr,0]) | diag(dw[dr,1]) | diag(dw[dr,2])]
+    so that acc = sum_dr W_dr @ [h2_l; h2; h2_r][:, row-slice dr]
+    reproduces the 9-tap depthwise conv as MXU matmuls."""
+    c4 = dw.shape[-1]
+    eye = jnp.eye(c4, dtype=dw.dtype)
+    return jnp.stack([
+        jnp.concatenate([eye * dw[dr, dc][None, :] for dc in range(3)],
+                        axis=1)
+        for dr in range(3)])
+
+
+def _dw_taps(h2, dw, *, th, w, c4, left_edge, right_edge, mxu):
+    """Depthwise 3x3 on the halo-extended [c4, (th+2)*w] buffer ->
+    [c4, th*w] (the interior rows). `dw` is [c4, 9] for the VPU engine
+    or the `_mxu_tap_weights` [3, c4, 3c4] stack for the MXU engine.
+    W-shifts are lane rolls with row-boundary masks; H-shifts are
+    W-aligned lane slices (VPU) / row-slices of the stacked buffer
+    (MXU)."""
+    n_all = h2.shape[-1]
+    h2_l = jnp.where(left_edge, 0.0, pltpu.roll(h2, 1, 1))
+    h2_r = jnp.where(right_edge, 0.0, pltpu.roll(h2, n_all - 1, 1))
+    acc = jnp.zeros((c4, th * w), jnp.float32)
+    if mxu:
+        stacked = jnp.concatenate([h2_l, h2, h2_r], axis=0)  # [3c4, n_all]
+        for dr in range(3):
+            a = dr * w
+            acc = acc + jax.lax.dot_general(
+                dw[dr], stacked[:, a:a + th * w],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
+    for dr in range(3):
+        a, b = dr * w, dr * w + th * w
+        for dc, buf in ((0, h2_l), (1, h2), (2, h2_r)):
+            acc = acc + buf[:, a:b] * dw[:, 3 * dr + dc][:, None]
+    return acc
+
+
 def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
-            w3t, b3, out_ref, *, th, w, c, c4, h_img, eps):
+            w3t, b3, out_ref, *, th, w, c, c4, h_img, eps, mxu):
     """Whole image [1, c, h*w] per program, inner Python loop over
     `th`-row tiles.
 
@@ -161,16 +220,8 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
                 ok = ok & (lane_ids < n_all - w)
             h2 = jnp.where(ok, h2, 0.0)
 
-        # depthwise 3x3: H-shifts are W-aligned lane slices; W-shifts
-        # are lane rolls with row-boundary masks, built once on the
-        # halo-extended buffer
-        h2_l = jnp.where(left_edge, 0.0, pltpu.roll(h2, 1, 1))
-        h2_r = jnp.where(right_edge, 0.0, pltpu.roll(h2, n_all - 1, 1))
-        acc = jnp.zeros((c4, th * w), jnp.float32)
-        for dr in range(3):
-            a, b = dr * w, dr * w + th * w
-            for dc, buf in ((0, h2_l), (1, h2), (2, h2_r)):
-                acc = acc + buf[:, a:b] * dw[:, 3 * dr + dc][:, None]
+        acc = _dw_taps(h2, dw[:], th=th, w=w, c4=c4, left_edge=left_edge,
+                       right_edge=right_edge, mxu=mxu)
         acc = _gelu_exact(acc + bdw[:])
 
         out = mm(w3t[:], acc, b3)  # [c, th*w]
@@ -179,7 +230,7 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
 
 def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
                  w2t, b2, dw, bdw, w3t, b3, out_ref, *, th, w, c, c4, h_img,
-                 eps):
+                 eps, mxu):
     """Block-tail: xm = x + proj([x1; x2]); out = xm + FFN(LN(xm)).
 
     Same whole-image-per-program structure as `_kernel`; the 1x1 proj
@@ -233,13 +284,8 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
                 ok = ok & (lane_ids < n_all - w)
             h2 = jnp.where(ok, h2, 0.0)
 
-        h2_l = jnp.where(left_edge, 0.0, pltpu.roll(h2, 1, 1))
-        h2_r = jnp.where(right_edge, 0.0, pltpu.roll(h2, n_all - 1, 1))
-        acc = jnp.zeros((c4, th * w), jnp.float32)
-        for dr in range(3):
-            a, b = dr * w, dr * w + th * w
-            for dc, buf in ((0, h2_l), (1, h2), (2, h2_r)):
-                acc = acc + buf[:, a:b] * dw[:, 3 * dr + dc][:, None]
+        acc = _dw_taps(h2, dw[:], th=th, w=w, c4=c4, left_edge=left_edge,
+                       right_edge=right_edge, mxu=mxu)
         acc = _gelu_exact(acc + bdw[:])
 
         out = mm(w3t[:], acc, b3)
@@ -251,7 +297,7 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
 
 def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
                        w1t, b1, w2t, b2, dw, bdw, w3t, b3, out_ref, *, w, c,
-                       c4, n, eps):
+                       c4, n, eps, mxu):
     """Whole-image, roll-based variant of `_tail_kernel` for images
     whose row length W is not a multiple of the 128-lane tile (the
     64x64 bottleneck scale). Halo lane-slices at W-offsets would be
@@ -284,17 +330,36 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
     row_ok = (None, lane_ids >= w, lane_ids < n - w)      # dr-1 = 0,-1,+1
     col_ok = (None, col > 0, col < w - 1)                 # dc-1 = 0,-1,+1
     acc = jnp.zeros((c4, n), jnp.float32)
-    for dr in range(3):
-        for dc in range(3):
-            o = (dr - 1) * w + (dc - 1)   # acc[n] += h2[n + o] * dw
-            t = pltpu.roll(h2, (-o) % n, 1) if o else h2
+    if mxu:
+        # column shifts once (masked rolls), sublane-stack, then one
+        # whole-buffer row-roll + block-diagonal matmul per row offset;
+        # the row masks commute with the column masks because row
+        # offsets are multiples of w
+        h2_l = jnp.where(col_ok[1], pltpu.roll(h2, 1, 1), 0.0)
+        h2_r = jnp.where(col_ok[2], pltpu.roll(h2, n - 1, 1), 0.0)
+        stacked = jnp.concatenate([h2_l, h2, h2_r], axis=0)  # [3c4, n]
+        for dr in range(3):
+            o = (dr - 1) * w
+            t = pltpu.roll(stacked, (-o) % n, 1) if o else stacked
             okr = row_ok[0 if dr == 1 else (1 if dr == 0 else 2)]
-            okc = col_ok[0 if dc == 1 else (1 if dc == 0 else 2)]
-            ok = okr if okc is None else (
-                okc if okr is None else okr & okc)
-            if ok is not None:
-                t = jnp.where(ok, t, 0.0)
-            acc = acc + t * dw[:, 3 * dr + dc][:, None]
+            if okr is not None:
+                t = jnp.where(okr, t, 0.0)
+            acc = acc + jax.lax.dot_general(
+                dw[dr], t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    else:
+        for dr in range(3):
+            for dc in range(3):
+                o = (dr - 1) * w + (dc - 1)   # acc[n] += h2[n + o] * dw
+                t = pltpu.roll(h2, (-o) % n, 1) if o else h2
+                okr = row_ok[0 if dr == 1 else (1 if dr == 0 else 2)]
+                okc = col_ok[0 if dc == 1 else (1 if dc == 0 else 2)]
+                ok = okr if okc is None else (
+                    okc if okr is None else okr & okc)
+                if ok is not None:
+                    t = jnp.where(ok, t, 0.0)
+                acc = acc + t * dw[:, 3 * dr + dc][:, None]
     acc = _gelu_exact(acc + bdw[:])
 
     out = mm(w3t[:], acc, b3)
@@ -313,10 +378,10 @@ def block_tail_xla(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias, ffn_params,
     return jnp.moveaxis(y, -1, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
 def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
                         ffn_params, *, eps: float = 1e-5,
-                        tile_rows: int = 32, interpret: bool = False):
+                        tile_rows: int = 32, interpret: bool = False,
+                        taps: str | None = None):
     """Fused LGB block tail on channel-major [B, C, H, W]:
 
         xm  = x + proj([x1; x2])      (the mixer 1x1 proj + residual)
@@ -331,19 +396,34 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
     Row length W a multiple of 128 runs the row-tiled kernel (halo rows
     are aligned lane slices); other lane-tile-aligned images (H*W % 128
     == 0, e.g. the 64x64 bottleneck) run the whole-image roll-based
-    variant."""
+    variant.
+
+    `taps` selects the depthwise-tap engine ('vpu'/'mxu', see
+    `_taps_mode`); None reads LGTEUN_FFN_TAPS at trace time."""
+    return _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel,
+                                  proj_bias, ffn_params, eps=eps,
+                                  tile_rows=tile_rows, interpret=interpret,
+                                  taps=taps or _taps_mode())
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret",
+                                             "taps"))
+def _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
+                           ffn_params, *, eps: float, tile_rows: int,
+                           interpret: bool, taps: str):
     b, c, h, w = x_cm.shape
     c4 = ffn_params["w1"].shape[-1]
     ch = c // 2
+    mxu = taps == "mxu"
     if w % 128 == 0:
         th = tile_rows
         while h % th:
             th //= 2
         kernel = functools.partial(_tail_kernel, th=th, w=w, c=c, c4=c4,
-                                   h_img=h, eps=eps)
+                                   h_img=h, eps=eps, mxu=mxu)
     elif (h * w) % 128 == 0:
         kernel = functools.partial(_tail_kernel_rolls, w=w, c=c, c4=c4,
-                                   n=h * w, eps=eps)
+                                   n=h * w, eps=eps, mxu=mxu)
     else:
         raise ValueError(f"image {h}x{w} is not lane-tile aligned")
     col = lambda p: p.reshape(-1, 1)
@@ -351,6 +431,8 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
                                      memory_space=pltpu.VMEM)
     img = lambda cc: pl.BlockSpec((1, cc, h * w), lambda bi: (bi, 0, 0),
                                   memory_space=pltpu.VMEM)
+    dw_arg = (_mxu_tap_weights(ffn_params["dw"]) if mxu
+              else ffn_params["dw"].reshape(9, c4).T)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, h * w), x_cm.dtype),
@@ -366,7 +448,7 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
             const((c4, 1)),   # b1
             const((c4, c4)),  # w2^T
             const((c4, 1)),   # b2
-            const((c4, 9)),   # dw
+            const(dw_arg.shape),  # dw taps ([c4, 9] vpu / [3, c4, 3c4] mxu)
             const((c4, 1)),   # bdw
             const((c, c4)),   # w3^T
             const((c, 1)),    # b3
@@ -380,7 +462,7 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
       col(ffn_params["ln_gamma"]), col(ffn_params["ln_beta"]),
       ffn_params["w1"].T, col(ffn_params["b1"]),
       ffn_params["w2"].T, col(ffn_params["b2"]),
-      ffn_params["dw"].reshape(9, c4).T, col(ffn_params["bdw"]),
+      dw_arg, col(ffn_params["bdw"]),
       ffn_params["w3"].T, col(ffn_params["b3"]))
     return out.reshape(b, c, h, w)
 
@@ -405,43 +487,51 @@ def _fused_ln_ffn_bwd(res, g):
 fused_ln_ffn.defvjp(_fused_ln_ffn_fwd, _fused_ln_ffn_bwd)
 
 
-def fused_ln_ffn_cm(x_cm, params, *, eps: float = 1e-5):
+def fused_ln_ffn_cm(x_cm, params, *, eps: float = 1e-5,
+                    taps: str | None = None):
     """`fused_ln_ffn` for channel-major [B, C, H, W] input/output —
     the layout the kernel uses internally, so the NHWC<->CM moveaxis
     relayouts disappear (the channel-major LGT trunk's FFN entry).
     Inference path (no custom_vjp; the NHWC wrapper covers training)."""
     b, c, h, w = x_cm.shape
     return _ffn_kernel_call(x_cm.reshape(b, c, h * w), b, h, w, c, params,
-                            eps=eps).reshape(b, c, h, w)
+                            eps=eps,
+                            taps=taps or _taps_mode()).reshape(b, c, h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret",
+                                             "taps"))
 def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 32,
-                       interpret: bool = False):
+                       interpret: bool = False, taps: str = "vpu"):
     """Kernel invocation (non-differentiable inner)."""
     b, h, w, c = x.shape
     xc = jnp.moveaxis(x, -1, 1).reshape(b, c, h * w)
     out = _ffn_kernel_call(xc, b, h, w, c, params, eps=eps,
-                           tile_rows=tile_rows, interpret=interpret)
+                           tile_rows=tile_rows, interpret=interpret,
+                           taps=taps)
     return jnp.moveaxis(out.reshape(b, c, h, w), 1, -1)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("b", "h", "w", "c", "eps", "tile_rows",
-                                    "interpret"))
+                                    "interpret", "taps"))
 def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
-                     tile_rows: int = 32, interpret: bool = False):
+                     tile_rows: int = 32, interpret: bool = False,
+                     taps: str = "vpu"):
     """Core pallas_call on channel-major [B, C, H*W] pixels."""
     c4 = params["w1"].shape[-1]
     th = tile_rows
     while h % th:
         th //= 2
+    mxu = taps == "mxu"
 
     kernel = functools.partial(_kernel, th=th, w=w, c=c, c4=c4, h_img=h,
-                               eps=eps)
+                               eps=eps, mxu=mxu)
     col = lambda p: p.reshape(-1, 1)
     const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)
+    dw_arg = (_mxu_tap_weights(params["dw"]) if mxu
+              else params["dw"].reshape(9, c4).T)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, h * w), xc.dtype),
@@ -455,7 +545,7 @@ def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
             const((c4, 1)),   # b1
             const((c4, c4)),  # w2^T
             const((c4, 1)),   # b2
-            const((c4, 9)),   # dw [9, c4]^T
+            const(dw_arg.shape),  # dw taps ([c4, 9] vpu / [3, c4, 3c4] mxu)
             const((c4, 1)),   # bdw
             const((c, c4)),   # w3^T
             const((c, 1)),    # b3
@@ -465,6 +555,6 @@ def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
         interpret=interpret or jax.default_backend() != "tpu",
     )(xc, col(params["ln_gamma"]), col(params["ln_beta"]),
       params["w1"].T, col(params["b1"]), params["w2"].T, col(params["b2"]),
-      params["dw"].reshape(9, c4).T, col(params["bdw"]),
+      dw_arg, col(params["bdw"]),
       params["w3"].T, col(params["b3"]))
     return out

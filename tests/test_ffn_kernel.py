@@ -19,13 +19,15 @@ def _params(rng, c, c4):
     }
 
 
+@pytest.mark.parametrize("taps", ["vpu", "mxu"])
 @pytest.mark.parametrize("b,h,w,c,c4", [(2, 32, 32, 32, 128),
                                         (1, 16, 128, 16, 64)])
-def test_fused_matches_xla(rng, b, h, w, c, c4):
+def test_fused_matches_xla(rng, b, h, w, c, c4, taps):
     x = rng.standard_normal((b, h, w, c)).astype(np.float32)
     params = {k: jax.numpy.asarray(v) for k, v in _params(rng, c, c4).items()}
     want = np.asarray(ln_ffn_xla(x, params))
-    got = np.asarray(_fused_ln_ffn_impl(x, params, tile_rows=8, interpret=True))
+    got = np.asarray(_fused_ln_ffn_impl(x, params, tile_rows=8,
+                                        interpret=True, taps=taps))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
 
 
@@ -42,10 +44,11 @@ def test_edge_padding_semantics(rng):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.parametrize("taps", ["vpu", "mxu"])
 @pytest.mark.parametrize("b,h,w,c,c4,tr", [(2, 16, 32, 16, 64, 8),
                                            (1, 8, 32, 16, 64, 8),
                                            (1, 32, 64, 32, 128, 8)])
-def test_block_tail_matches_xla(rng, b, h, w, c, c4, tr):
+def test_block_tail_matches_xla(rng, b, h, w, c, c4, tr, taps):
     """Fused block tail (proj + residual + LN+FFN) vs the XLA
     composition, incl. single-tile (nt=1) and multi-tile layouts, with
     loud edge rows to pin the halo/residual indexing."""
@@ -62,13 +65,15 @@ def test_block_tail_matches_xla(rng, b, h, w, c, c4, tr):
 
     want = np.asarray(block_tail_xla(x, x1, x2, pk, pb, params))
     got = np.asarray(fused_block_tail_cm(x, x1, x2, pk, pb, params,
-                                         tile_rows=tr, interpret=True))
+                                         tile_rows=tr, interpret=True,
+                                         taps=taps))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.parametrize("taps", ["vpu", "mxu"])
 @pytest.mark.parametrize("b,h,w,c,c4", [(2, 8, 16, 16, 64),
                                         (1, 16, 16, 32, 128)])
-def test_block_tail_rolls_matches_xla(rng, b, h, w, c, c4):
+def test_block_tail_rolls_matches_xla(rng, b, h, w, c, c4, taps):
     """Whole-image roll-based tail variant (W not a multiple of 128,
     H*W lane-tile aligned — the bottleneck-scale path)."""
     from lgteun_tpu.ops.ffn_kernel import block_tail_xla, fused_block_tail_cm
@@ -84,7 +89,7 @@ def test_block_tail_rolls_matches_xla(rng, b, h, w, c, c4):
 
     want = np.asarray(block_tail_xla(x, x1, x2, pk, pb, params))
     got = np.asarray(fused_block_tail_cm(x, x1, x2, pk, pb, params,
-                                         interpret=True))
+                                         interpret=True, taps=taps))
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
 
 
