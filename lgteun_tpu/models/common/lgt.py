@@ -90,6 +90,7 @@ class LocalMixer(nn.Module):
         )
         from lgteun_tpu.ops.window_attention import (
             fused_window_attention_v2,
+            fused_window_attention_v3,
             window_attention_xla,
         )
 
@@ -117,14 +118,20 @@ class LocalMixer(nn.Module):
             return window_unpartition(out, self.win_size, (h, w), b)
         if self.use_fused is None:
             # default on for TPU (measured ~1.7x over the XLA path on
-            # v5e); LGTEUN_FUSED_ATTENTION=0 disables
+            # v5e); LGTEUN_FUSED_ATTENTION=0 disables, =v2 pins the
+            # unpacked kernel (the packed v3 fills all 128 lanes with
+            # two windows per row and is used whenever N is even; both
+            # are differentiable — XLA-recompute backward)
             import os
 
-            fused = (os.environ.get("LGTEUN_FUSED_ATTENTION", "1") == "1"
-                     and jax.default_backend() == "tpu")
+            flag = os.environ.get("LGTEUN_FUSED_ATTENTION", "1")
+            fused = flag != "0" and jax.default_backend() == "tpu"
         else:
+            flag = "1"
             fused = self.use_fused
-        if fused:
+        if fused and flag != "v2" and xw.shape[0] % 2 == 0:
+            out = fused_window_attention_v3(xw, wqkv, bqkv, pos, heads, scale)
+        elif fused:
             out = fused_window_attention_v2(xw, wqkv, bqkv, pos, heads, scale)
         else:
             out = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)

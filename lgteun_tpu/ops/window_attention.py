@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_window_attention", "fused_window_attention_v2_cm",
-           "window_attention_xla"]
+           "fused_window_attention_v3", "window_attention_xla"]
 
 
 def window_attention_xla(xw, wqkv, bqkv, pos, heads, scale, dtype=None):
@@ -310,6 +310,48 @@ def fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, *, heads: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret or jax.default_backend() != "tpu",
     )(xp, w_b, bqkv.reshape(3 * c, 1), pos2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_window_attention_v3(xw, wqkv, bqkv, pos, heads: int, scale: float):
+    """Differentiable packed-pair window attention on [N, S, C] windows
+    (N even): Pallas v3 forward — two windows per 128-lane row — with
+    XLA backward via recompute, same contract as
+    `fused_window_attention_v2`. The kernel treats the two packed
+    windows independently (block-diagonal position bias with -1e9
+    masks), so ANY pairing of windows is exact; consecutive windows
+    from `window_partition` are used for locality."""
+    return _fused_v3_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale)
+
+
+def _fused_v3_fwd(xw, wqkv, bqkv, pos, heads, scale):
+    return (_fused_v3_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale),
+            (xw, wqkv, bqkv, pos))
+
+
+def _fused_v3_bwd(heads, scale, res, g):
+    xw, wqkv, bqkv, pos = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: window_attention_xla(a, b, c, d, heads, scale),
+        xw, wqkv, bqkv, pos)
+    return vjp(g)
+
+
+fused_window_attention_v3.defvjp(_fused_v3_fwd, _fused_v3_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _fused_v3_impl(xw, wqkv, bqkv, pos, *, heads: int, scale: float,
+                   interpret: bool = False):
+    """Pack [N, S, C] windows into lane-axis pairs, run the v3 kernel,
+    unpack (non-differentiable inner)."""
+    n, s, c = xw.shape
+    xp = (xw.reshape(n // 2, 2, s, c).transpose(0, 3, 1, 2)
+          .reshape(n // 2, c, 2 * s))
+    out = fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, heads=heads,
+                                           scale=scale, interpret=interpret)
+    return (out.reshape(n // 2, c, 2, s).transpose(0, 2, 3, 1)
+            .reshape(n, s, c))
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))

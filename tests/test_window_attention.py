@@ -61,6 +61,66 @@ def test_packed_v3_matches_xla(rng, tanh_exp):
                                atol=2e-5)
 
 
+def test_v3_wrapper_matches_xla_and_differentiable(rng):
+    """`fused_window_attention_v3` ([N, S, C] entry used by LocalMixer
+    in training): forward parity vs XLA and custom_vjp grads vs the
+    XLA path (backward is an XLA recompute, so grads must match to
+    f32 tolerance)."""
+    import jax.numpy as jnp
+
+    from lgteun_tpu.ops.window_attention import fused_window_attention_v3
+
+    n, s, c, heads = 8, 64, 16, 2
+    scale = (c // heads) ** -0.5
+    xw = jnp.asarray(rng.uniform(-1, 1, (n, s, c)).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(0, 0.2, (c, 3 * c)).astype(np.float32))
+    bqkv = jnp.asarray(rng.normal(0, 0.1, (3 * c,)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(0, 0.5, (heads, s, s)).astype(np.float32))
+
+    want = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)
+    got = fused_window_attention_v3(xw, wqkv, bqkv, pos, heads, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss_fused(x_, w_):
+        return jnp.sum(fused_window_attention_v3(
+            x_, w_, bqkv, pos, heads, scale) ** 2)
+
+    def loss_xla(x_, w_):
+        return jnp.sum(window_attention_xla(
+            x_, w_, bqkv, pos, heads, scale) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(xw, wqkv)
+    gx_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(xw, wqkv)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_x),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_x),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_local_mixer_fused_routing_matches_xla(rng):
+    """LocalMixer with use_fused=True (which routes to the packed v3
+    kernel when the window count is even) must match the XLA path in
+    values and input grads — the training-path integration of the
+    fused attention."""
+    import jax.numpy as jnp
+
+    from lgteun_tpu.models.common.lgt import LocalMixer
+
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 16)).astype(np.float32))
+    m_f = LocalMixer(win_size=8, num_heads=2, use_fused=True)
+    m_x = LocalMixer(win_size=8, num_heads=2, use_fused=False)
+    params = m_x.init(jax.random.PRNGKey(0), x)
+
+    want = m_x.apply(params, x)
+    got = m_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    g_w = jax.grad(lambda x_: jnp.sum(m_x.apply(params, x_) ** 2))(x)
+    g_f = jax.grad(lambda x_: jnp.sum(m_f.apply(params, x_) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_w),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_window_pair_partition_roundtrip(rng):
     """_window_pairs_cm / _unwindow_pairs_cm invert each other and
     agree with the plain partition."""
