@@ -25,7 +25,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_tiff", "write_tiff"]
+__all__ = ["read_tiff", "write_tiff", "REFERENCE_GEO"]
 
 _II = b"II"  # little-endian magic
 _MM = b"MM"
@@ -42,6 +42,8 @@ _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
 _SAMPLE_FORMAT = 339
+_MODEL_TRANSFORMATION = 34264  # GeoTIFF raster->model 4x4 transform
+_GEO_KEY_DIRECTORY = 34735     # GeoTIFF key directory
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
                11: 4, 12: 8}
@@ -118,12 +120,28 @@ def read_tiff(path: str) -> np.ndarray:
     return np.ascontiguousarray(arr.astype(dtype))
 
 
-def write_tiff(path: str, array: np.ndarray, dtype=np.uint16) -> None:
+# The reference stamps every saved raster with this fake georeference
+# (dataset/utils.py:50-53: raster_origin (-123.25745, 45.43013), pixel
+# size 2.4x2.4, EPSG:4326) — "Meaningless Default Value" per its own
+# comment, but GIS-aware IQA tools see the tags. (geotransform, epsg).
+REFERENCE_GEO = ((-123.25745, 2.4, 0.0, 45.43013, 0.0, 2.4), 4326)
+
+
+def write_tiff(path: str, array: np.ndarray, dtype=np.uint16,
+               geo: tuple | None = None) -> None:
     """Encode [H,W] or [H,W,C] as a single-strip little-endian TIFF.
 
     Default uint16 matches the reference's output convention
     (reference dataset/utils.py:63 GDT_UInt16); float32 is also
     supported for lossless intermediate storage.
+
+    `geo=(geotransform, epsg)` adds GeoTIFF tags: a GDAL-style 6-tuple
+    geotransform (originX, pxW, rotX, originY, rotY, pxH) written as
+    ModelTransformationTag — the representation GDAL itself uses for
+    the reference's south-up (pxH > 0) fake georeference — plus a
+    GeoKeyDirectoryTag declaring a geographic CRS with the given EPSG
+    code. Pass `REFERENCE_GEO` for the reference's exact values
+    (reference dataset/utils.py:42-72 `save_image`).
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -136,54 +154,60 @@ def write_tiff(path: str, array: np.ndarray, dtype=np.uint16) -> None:
     sample_format = 3 if np.issubdtype(arr.dtype, np.floating) else 1
     payload = arr.tobytes()
 
-    entries = []
+    entries = []  # (tag, type, count, packed little-endian values)
 
-    def entry(tag, typ, count, value_bytes):
-        entries.append((tag, typ, count, value_bytes))
+    def add(tag, typ, count, raw):
+        entries.append((tag, typ, count, raw))
 
-    def short(v):
-        return struct.pack("<H", v) + b"\0\0"
-
-    def long_(v):
-        return struct.pack("<I", v)
-
-    header_size = 8
-    # layout: header | payload | bits-per-sample array (if c > 2) | IFD
-    data_offset = header_size
-    extra_offset = data_offset + len(payload)
-    extra = b""
-    if c > 2:
-        bits_offset = extra_offset
-        extra = struct.pack("<" + "H" * c, *([bps] * c))
-        ifd_offset = extra_offset + len(extra)
-        if ifd_offset % 2:
-            extra += b"\0"
-            ifd_offset += 1
-        bits_value = long_(bits_offset)
-        bits_count = c
-        bits_inline = False
-    else:
-        ifd_offset = extra_offset
-        bits_value = (struct.pack("<" + "H" * c, *([bps] * c)) + b"\0\0")[:4]
-        bits_count = c
-        bits_inline = True
-    del bits_inline
-
-    entry(_IMAGE_WIDTH, 4, 1, long_(w))
-    entry(_IMAGE_LENGTH, 4, 1, long_(h))
-    entry(_BITS_PER_SAMPLE, 3, bits_count, bits_value)
-    entry(_COMPRESSION, 3, 1, short(1))
-    entry(_PHOTOMETRIC, 3, 1, short(1))  # BlackIsZero
-    entry(_STRIP_OFFSETS, 4, 1, long_(data_offset))
-    entry(_SAMPLES_PER_PIXEL, 3, 1, short(c))
-    entry(_ROWS_PER_STRIP, 4, 1, long_(h))
-    entry(_STRIP_BYTE_COUNTS, 4, 1, long_(len(payload)))
-    entry(_PLANAR_CONFIG, 3, 1, short(1))
-    entry(_SAMPLE_FORMAT, 3, 1, short(sample_format))
+    add(_IMAGE_WIDTH, 4, 1, struct.pack("<I", w))
+    add(_IMAGE_LENGTH, 4, 1, struct.pack("<I", h))
+    add(_BITS_PER_SAMPLE, 3, c, struct.pack("<" + "H" * c, *([bps] * c)))
+    add(_COMPRESSION, 3, 1, struct.pack("<H", 1))
+    add(_PHOTOMETRIC, 3, 1, struct.pack("<H", 1))  # BlackIsZero
+    add(_STRIP_OFFSETS, 4, 1, struct.pack("<I", 8))  # payload after header
+    add(_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", c))
+    add(_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
+    add(_STRIP_BYTE_COUNTS, 4, 1, struct.pack("<I", len(payload)))
+    add(_PLANAR_CONFIG, 3, 1, struct.pack("<H", 1))
+    add(_SAMPLE_FORMAT, 3, 1, struct.pack("<H", sample_format))
+    if geo is not None:
+        gt, epsg = geo
+        # row-major 4x4 raster->model transform equivalent to the
+        # geotransform (GeoTIFF spec B.6; what GDAL writes when the
+        # geotransform can't be a positive PixelScale + Tiepoint pair)
+        mat = (gt[1], gt[2], 0.0, gt[0],
+               gt[4], gt[5], 0.0, gt[3],
+               0.0, 0.0, 0.0, 0.0,
+               0.0, 0.0, 0.0, 1.0)
+        add(_MODEL_TRANSFORMATION, 12, 16, struct.pack("<16d", *mat))
+        keys = ((1024, 0, 1, 2),     # GTModelTypeGeoKey = geographic
+                (1025, 0, 1, 1),     # GTRasterTypeGeoKey = PixelIsArea
+                (2048, 0, 1, epsg))  # GeographicTypeGeoKey
+        vals = (1, 1, 0, len(keys)) + tuple(v for k in keys for v in k)
+        add(_GEO_KEY_DIRECTORY, 3, len(vals),
+            struct.pack("<%dH" % len(vals), *vals))
     entries.sort(key=lambda e: e[0])
 
-    ifd = struct.pack("<H", len(entries))
-    for tag, typ, count, value in entries:
+    # layout: header | payload | out-of-line values (word-aligned) | IFD
+    extra_base = 8 + len(payload)
+    extra = b""
+    final = []
+    for tag, typ, count, raw in entries:
+        if len(raw) <= 4:
+            final.append((tag, typ, count, raw + b"\0" * (4 - len(raw))))
+        else:
+            if (extra_base + len(extra)) % 2:
+                extra += b"\0"
+            final.append((tag, typ, count,
+                          struct.pack("<I", extra_base + len(extra))))
+            extra += raw
+    ifd_offset = extra_base + len(extra)
+    if ifd_offset % 2:
+        extra += b"\0"
+        ifd_offset += 1
+
+    ifd = struct.pack("<H", len(final))
+    for tag, typ, count, value in final:
         ifd += struct.pack("<HHI", tag, typ, count) + value
     ifd += struct.pack("<I", 0)  # no next IFD
 

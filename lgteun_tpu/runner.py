@@ -516,9 +516,10 @@ class Runner:
         return results
 
     def _save_outputs(self, outputs, iter_id, ref):
-        """Write fused images as uint16 TIFFs (reference
-        base_model.py:336-337 -> dataset/utils.py:42-86)."""
-        from lgteun_tpu.data.tiff import write_tiff
+        """Write fused images as uint16 GeoTIFFs with the reference's
+        fake georeference tags (reference base_model.py:336-337 ->
+        dataset/utils.py:42-86)."""
+        from lgteun_tpu.data.tiff import REFERENCE_GEO, write_tiff
 
         out_dir = os.path.join(self.cfg.work_dir, self.cfg.datas,
                                "test_out", f"iter_{iter_id}",
@@ -529,7 +530,8 @@ class Runner:
                 arr = np.clip(
                     np.round(data_denormalize(pred, self.cfg.bit_depth)),
                     0, 65535).astype(np.uint16)
-                write_tiff(os.path.join(out_dir, f"{image_id}_mul_hat.tif"), arr)
+                write_tiff(os.path.join(out_dir, f"{image_id}_mul_hat.tif"),
+                           arr, geo=REFERENCE_GEO)
 
     def log_eval_curves(self):
         """Log + persist the accumulated metric curves (reference

@@ -36,6 +36,49 @@ def test_tiff_roundtrip(tmp_path, rng, shape, dtype):
     assert back.dtype == dtype
 
 
+def test_geotiff_tags(tmp_path, rng):
+    """geo=REFERENCE_GEO must write the reference's fake georeference
+    (dataset/utils.py:42-72): a ModelTransformationTag holding the
+    south-up geotransform and a GeoKeyDirectoryTag declaring
+    geographic EPSG:4326 — while the pixel payload and every reader
+    (python + native) stay unaffected."""
+    import struct
+
+    from lgteun_tpu.data.tiff import REFERENCE_GEO
+    from lgteun_tpu.data.tiff import _read_entry_values
+
+    arr = rng.integers(0, 2047, size=(16, 16, 4)).astype(np.uint16)
+    p = str(tmp_path / "geo.tif")
+    write_tiff(p, arr, geo=REFERENCE_GEO)
+    np.testing.assert_array_equal(read_tiff(p), arr)
+
+    with open(p, "rb") as f:
+        data = f.read()
+    (ifd_offset,) = struct.unpack("<I", data[4:8])
+    (n,) = struct.unpack("<H", data[ifd_offset:ifd_offset + 2])
+    tags = {}
+    for i in range(n):
+        off = ifd_offset + 2 + 12 * i
+        tag, values = _read_entry_values(data, data[off:off + 12], "<")
+        tags[tag] = values
+
+    gt, epsg = REFERENCE_GEO
+    mat = tags[34264]  # ModelTransformationTag
+    assert len(mat) == 16
+    assert mat[0] == gt[1] and mat[3] == gt[0]   # pixel width, origin x
+    assert mat[5] == gt[5] and mat[7] == gt[3]   # pixel height, origin y
+    keys = tags[34735]  # GeoKeyDirectoryTag
+    kv = {keys[4 + 4 * i]: keys[7 + 4 * i] for i in range(keys[3])}
+    assert kv[1024] == 2      # geographic model
+    assert kv[2048] == epsg   # EPSG:4326
+
+    # native C++ batch decoder must skip the geo tags transparently
+    from lgteun_tpu.native import read_tiff_native
+    native = read_tiff_native(p)
+    if native is not None:
+        np.testing.assert_array_equal(native, arr)
+
+
 def test_synthetic_scene_contract(rng):
     lr, pan, hr = make_synthetic_scene(rng, size=128, bands=4)
     assert lr.shape == (32, 32, 4)
