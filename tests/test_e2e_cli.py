@@ -50,6 +50,7 @@ model_cfg = {{"core_module": dict(stage=1)}}
     return str(p)
 
 
+@pytest.mark.slow
 def test_cli_main_end_to_end(tmp_path):
     dirs = make_synthetic_dataset(str(tmp_path / "data"), n_train=2,
                                   n_test=0, bands=4, size=64)

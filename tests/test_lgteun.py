@@ -39,6 +39,7 @@ def test_param_count_matches_reference():
     assert abs(n4 - 202_200) / 202_200 < 0.005, n4
 
 
+@pytest.mark.slow
 def test_gradients_flow(rng):
     model, params = _init(c=4, h=8)
     ms = jnp.asarray(rng.uniform(0, 1, (1, 8, 8, 4)), jnp.float32)
@@ -93,6 +94,7 @@ def test_overfits_single_batch(rng):
     assert float(l) < 0.3 * float(l0), (float(l0), float(l))
 
 
+@pytest.mark.slow
 def test_fast_forward_matches_module(rng):
     """The channel-major fast path (models/lgteun_fast.py) is a layout
     change, not a different model: f32 CPU outputs must match the flax

@@ -43,6 +43,7 @@ def _cfg(model_type, tmp_path, **kw):
     return cfg
 
 
+@pytest.mark.slow
 def test_lgteun_train_eval_checkpoint(tmp_path, synth):
     train_ds, test_ds = synth
     cfg = _cfg("UnlgFormer", tmp_path)
@@ -139,6 +140,7 @@ def test_frozen_lu_buffers_survive_adamw():
     assert not np.allclose(np.asarray(lu0["log_s"]), np.asarray(lu1["log_s"]))
 
 
+@pytest.mark.slow
 def test_interrupt_resume_bit_identical(tmp_path, synth):
     """Full-state checkpointing: stopping at iter 3 and resuming must
     produce bit-identical params at iter 6 vs an uninterrupted run
@@ -176,6 +178,7 @@ def test_interrupt_resume_bit_identical(tmp_path, synth):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_mixed_precision_training(tmp_path):
     """cfg.mixed_precision=True: bf16 compute with f32 master params —
     loss decreases and params stay float32."""
@@ -215,6 +218,7 @@ def test_mixed_precision_training(tmp_path):
     assert delta > 1e-6
 
 
+@pytest.mark.slow
 def test_steps_per_dispatch_bit_identical(tmp_path):
     """steps_per_dispatch=3 must reproduce single-step dispatch (same
     batches, same fold_in rng keys) up to compilation-variant float
@@ -286,6 +290,7 @@ def test_steps_per_dispatch_freq_auto_reduce(tmp_path):
     runner.init().set_optim().train()
     assert runner.last_iter == 5
 
+@pytest.mark.slow
 def test_selective_mixed_precision_unlgformer(tmp_path):
     """UnlgFormer's mixed_precision path is SELECTIVE (bf16 prior
     matmuls/convs with f32 accumulation; f32 LN/softmax/spectral and

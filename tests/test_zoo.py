@@ -56,6 +56,7 @@ def test_lightnet_forward_grads_params():
     assert abs(n - 16_300) / 16_300 < 0.02, n
 
 
+@pytest.mark.slow
 def test_panformer_forward_grads_params():
     m = _make("PanFormer", c=8, n_feats=64, n_heads=8, head_dim=8,
               win_size=4, n_blocks=3)
