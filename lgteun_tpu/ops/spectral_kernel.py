@@ -19,7 +19,9 @@ runs the whole chain in a single HBM read + write:
 - amplitude via sqrt, phase via an atan2 built from a degree-8
   minimax atan polynomial (5.8e-9 max err; Mosaic has no atan2
   primitive), recombination with the reference's exact epsilon
-  placement and zero-bin convention, sin/cos native
+  placement and zero-bin convention; sin/cos either native or as
+  range-reduced Horner polynomials (LGTEUN_MIXER_TRIG=poly, f32-floor
+  accuracy — for ablation against Mosaic's transcendentals)
 - W-axis inverse with the hermitian 2/1 weighting folded into the
   constant matrix (matching `ops/fft.py::_irdft_mats`)
 
@@ -32,6 +34,7 @@ Validated against the XLA mixer in tests/test_spectral_kernel.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +70,41 @@ def _atan2(y, x):
     a = jnp.where(ay > ax, _HALF_PI - a, a)
     a = jnp.where(x < 0.0, _PI - a, a)
     return jnp.where(y < 0.0, -a, a)
+
+
+# cos as an even / sin as an odd polynomial in r^2 on r in [-pi, pi]
+# (Chebyshev-node LS fit; f32-eval max err 3.6e-7 / 5.2e-7 — at the
+# f32 rounding floor). Same playbook as the tanh-form exp/GELU: Mosaic
+# trig transcendentals are multi-pass VPU ops, a Horner chain is FMAs.
+_COS_COEFFS = (1.0, -0.5, 4.1666664e-02, -1.3888864e-03, 2.4800554e-05,
+               -2.7534810e-07, 2.0603630e-09, -9.7225726e-12)
+_SIN_COEFFS = (1.0, -1.6666667e-01, 8.3333328e-03, -1.9841244e-04,
+               2.7556455e-06, -2.5035391e-08, 1.5874152e-10, -6.5498898e-13)
+_INV_TWO_PI = 1.0 / (2.0 * _PI)
+
+
+def _sincos_poly(x):
+    """(sin x, cos x) via range reduction to [-pi, pi] + degree-14/15
+    polynomials; |err| <= ~5e-7 for |x| up to ~1e3 (the phase-affine
+    range — pha in [-pi, pi] times a learned per-channel scale)."""
+    r = x - (2.0 * _PI) * jnp.round(x * _INV_TWO_PI)
+    u = r * r
+    qc = jnp.float32(_COS_COEFFS[-1])
+    for cf in _COS_COEFFS[-2::-1]:
+        qc = qc * u + jnp.float32(cf)
+    qs = jnp.float32(_SIN_COEFFS[-1])
+    for cf in _SIN_COEFFS[-2::-1]:
+        qs = qs * u + jnp.float32(cf)
+    return r * qs, qc
+
+
+def _trig_mode() -> str:
+    """Trig engine for the fused mixer kernels (env LGTEUN_MIXER_TRIG,
+    resolved at the non-jitted kernel entries): 'native' (default)
+    Mosaic sin/cos; 'poly' the `_sincos_poly` Horner chains. Exists for
+    on-chip ablation."""
+    mode = _os.environ.get("LGTEUN_MIXER_TRIG", "native").lower()
+    return mode if mode in ("native", "poly") else "native"
 
 
 @functools.lru_cache(maxsize=None)
@@ -113,7 +151,8 @@ def _mixer_mats(h: int, w: int):
                                                 wic, wis))
 
 
-def mixer_body(xi, asc, abi, psc, pbi, mats, *, c, h, w):
+def mixer_body(xi, asc, abi, psc, pbi, mats, *, c, h, w,
+               trig: str = "native"):
     """Value-level fused mixer chain on one image [c, h, w] (shared by
     this kernel and the LGB megakernel in ops/lgb_mixer_kernel.py).
     asc/abi/psc/pbi: [c, 1, 1]; mats: the 8 `_mixer_mats` arrays."""
@@ -147,8 +186,12 @@ def mixer_body(xi, asc, abi, psc, pbi, mats, *, c, h, w):
     pha = jnp.where(zero, 0.0, _atan2(im_s, re_s))
     amp = amp * asc + abi
     pha = pha * psc + pbi
-    real = amp * jnp.cos(pha) + 1e-8 + 1e-8
-    imag = amp * jnp.sin(pha) + 1e-8
+    if trig == "poly":
+        sin_p, cos_p = _sincos_poly(pha)
+    else:
+        sin_p, cos_p = jnp.sin(pha), jnp.cos(pha)
+    real = amp * cos_p + 1e-8 + 1e-8
+    imag = amp * sin_p + 1e-8
 
     # inverse: H full complex, then hermitian-weighted W
     mid_re = lmul(hic, real) - lmul(his, imag)
@@ -158,25 +201,33 @@ def mixer_body(xi, asc, abi, psc, pbi, mats, *, c, h, w):
 
 
 def _kernel(x_ref, asc_ref, abi_ref, psc_ref, pbi_ref, wc, ws, hc, hs,
-            hic, his, wic, wis, out_ref, *, c, h, w):
+            hic, his, wic, wis, out_ref, *, c, h, w, trig):
     col = lambda p: p[...].reshape(c, 1, 1)
     out = mixer_body(x_ref[0], col(asc_ref), col(abi_ref), col(psc_ref),
                      col(pbi_ref),
                      tuple(m[:] for m in (wc, ws, hc, hs, hic, his, wic,
-                                          wis)), c=c, h=h, w=w)
+                                          wis)), c=c, h=h, w=w, trig=trig)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_global_mixer_cm(x, amp_scale, amp_bias, pha_scale, pha_bias, *,
-                          interpret: bool = False):
+                          interpret: bool = False, trig: str | None = None):
     """Channel-major [B, C, H, W] -> [B, C, H, W] fused global mixer.
 
     amp_scale/amp_bias/pha_scale/pha_bias: [C] per-channel affine (the
-    reference's 1x1 depthwise amp_fuse/pha_fuse convs)."""
+    reference's 1x1 depthwise amp_fuse/pha_fuse convs). `trig` selects
+    the sin/cos engine ('native'/'poly', see `_trig_mode`)."""
+    return _fused_global_mixer_impl(x, amp_scale, amp_bias, pha_scale,
+                                    pha_bias, interpret=interpret,
+                                    trig=trig or _trig_mode())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "trig"))
+def _fused_global_mixer_impl(x, amp_scale, amp_bias, pha_scale, pha_bias, *,
+                             interpret: bool, trig: str):
     b, c, h, w = x.shape
     mats = _mixer_mats(h, w)
-    kernel = functools.partial(_kernel, c=c, h=h, w=w)
+    kernel = functools.partial(_kernel, c=c, h=h, w=w, trig=trig)
     col = lambda p: p.reshape(-1, 1)
     const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)
@@ -198,7 +249,7 @@ def fused_global_mixer_cm(x, amp_scale, amp_bias, pha_scale, pha_bias, *,
 
 def _head_kernel(x_ref, lng_ref, lnb_ref, asc_ref, abi_ref, psc_ref,
                  pbi_ref, wc, ws, hc, hs, hic, his, wic, wis, y1_ref,
-                 x2_ref, *, c, h, w, eps):
+                 x2_ref, *, c, h, w, eps, trig):
     """LGB mixer head: y = LN(x); y1 = y[:C/2] (local-attention input);
     x2 = global_mixer(y[C/2:]). One HBM read of x, no LN materialise,
     no separate mixer-half read."""
@@ -213,14 +264,14 @@ def _head_kernel(x_ref, lng_ref, lnb_ref, asc_ref, abi_ref, psc_ref,
     out = mixer_body(y[c2:], col3(asc_ref), col3(abi_ref), col3(psc_ref),
                      col3(pbi_ref),
                      tuple(m[:] for m in (wc, ws, hc, hs, hic, his, wic,
-                                          wis)), c=c2, h=h, w=w)
+                                          wis)), c=c2, h=h, w=w, trig=trig)
     x2_ref[0] = out.astype(x2_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_ln_mixer_head_cm(x, ln_scale, ln_bias, amp_scale, amp_bias,
                            pha_scale, pha_bias, *, eps: float = 1e-5,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           trig: str | None = None):
     """Fused LGB mixer head on channel-major [B, C, H, W]:
 
         y  = LN(x)                     (channel LayerNorm, per pixel)
@@ -229,11 +280,22 @@ def fused_ln_mixer_head_cm(x, ln_scale, ln_bias, amp_scale, amp_bias,
 
     Returns (y1, x2), each [B, C/2, H, W]. ln_scale/ln_bias: [C];
     amp/pha params: [C/2]. Saves the XLA LN pass and the mixer half's
-    HBM round trip vs LN + `fused_global_mixer_cm`."""
+    HBM round trip vs LN + `fused_global_mixer_cm`. `trig` selects the
+    sin/cos engine ('native'/'poly', see `_trig_mode`)."""
+    return _fused_head_impl(x, ln_scale, ln_bias, amp_scale, amp_bias,
+                            pha_scale, pha_bias, eps=eps,
+                            interpret=interpret, trig=trig or _trig_mode())
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "trig"))
+def _fused_head_impl(x, ln_scale, ln_bias, amp_scale, amp_bias,
+                     pha_scale, pha_bias, *, eps: float, interpret: bool,
+                     trig: str):
     b, c, h, w = x.shape
     c2 = c // 2
     mats = _mixer_mats(h, w)
-    kernel = functools.partial(_head_kernel, c=c, h=h, w=w, eps=eps)
+    kernel = functools.partial(_head_kernel, c=c, h=h, w=w, eps=eps,
+                               trig=trig)
     col = lambda p: p.reshape(-1, 1)
     const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)

@@ -105,13 +105,18 @@ def main():
             t = timed(fwd, ms, pan)
         print(f"{label:20s}: {t:7.2f} ms/batch  (component ~{full - t:5.2f} ms)")
 
-    # depthwise-tap engine A/B (env read at trace time; `timed` builds a
-    # fresh outer jit per call, so flipping the env here re-traces)
+    # engine A/Bs (env read at trace time; `timed` builds a fresh outer
+    # jit per call, so flipping the env here re-traces)
     for mode in ("vpu", "mxu"):
         os.environ["LGTEUN_FFN_TAPS"] = mode
         t = timed(fwd, ms, pan)
         print(f"taps={mode:15s}: {t:7.2f} ms/batch")
     os.environ.pop("LGTEUN_FFN_TAPS", None)
+    for mode in ("native", "poly"):
+        os.environ["LGTEUN_MIXER_TRIG"] = mode
+        t = timed(fwd, ms, pan)
+        print(f"trig={mode:15s}: {t:7.2f} ms/batch")
+    os.environ.pop("LGTEUN_MIXER_TRIG", None)
 
 
 if __name__ == "__main__":

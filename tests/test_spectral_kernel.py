@@ -31,8 +31,9 @@ def _mixer_oracle_f64(x, asc, abi, psc, pbi):
     return np.abs(np.fft.irfft2(spec, s=x.shape[-2:], axes=(-2, -1)))
 
 
+@pytest.mark.parametrize("trig", ["native", "poly"])
 @pytest.mark.parametrize("shape", [(2, 16, 128, 128), (3, 8, 64, 64)])
-def test_fused_matches_oracle(rng, shape):
+def test_fused_matches_oracle(rng, shape, trig):
     """Fused kernel vs an f64 oracle. The fused and XLA paths are two
     equivalent f32 evaluation orders of the same chain — the forward
     DFT's ~5e-5 f32 rounding accumulates over the inverse's ~1e4-term
@@ -48,7 +49,7 @@ def test_fused_matches_oracle(rng, shape):
     oracle = _mixer_oracle_f64(x, asc, abi, psc, pbi)
     xla = np.asarray(global_mixer_xla_cm(x, asc, abi, psc, pbi))
     got = np.asarray(fused_global_mixer_cm(x, asc, abi, psc, pbi,
-                                           interpret=True))
+                                           interpret=True, trig=trig))
     xla_env = np.abs(xla - oracle).max()
     fused_env = np.abs(got - oracle).max()
     assert fused_env <= max(3.0 * xla_env, 1e-4), (fused_env, xla_env)
@@ -113,3 +114,21 @@ def test_atan2_poly_accuracy(rng):
     want = np.arctan2(np.asarray(y), np.asarray(x))
     got = np.asarray(_atan2(y, x))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sincos_poly_accuracy(rng):
+    """Range-reduced Horner sin/cos vs numpy over the phase-affine
+    range (|x| up to ~100: pha in [-pi, pi] times learned scales)."""
+    from lgteun_tpu.ops.spectral_kernel import _sincos_poly
+
+    x = jnp.asarray(rng.uniform(-100, 100, 8192), jnp.float32)
+    sin_p, cos_p = _sincos_poly(x)
+    xf = np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(sin_p), np.sin(xf), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(cos_p), np.cos(xf), atol=3e-5)
+    # tight accuracy inside the primary range
+    r = jnp.asarray(rng.uniform(-np.pi, np.pi, 8192), jnp.float32)
+    sin_p, cos_p = _sincos_poly(r)
+    rf = np.asarray(r, np.float64)
+    np.testing.assert_allclose(np.asarray(sin_p), np.sin(rf), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(cos_p), np.cos(rf), atol=2e-6)
