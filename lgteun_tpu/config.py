@@ -120,6 +120,12 @@ class Config:
     # dominates small-model steps on remote/tunneled TPUs. Auto-reduced
     # to divide the active save/eval/test/log frequencies.
     steps_per_dispatch: int = 1
+    # rematerialisation (jax.checkpoint) around the loss computation:
+    # the backward pass recomputes the forward instead of storing its
+    # activation residuals, trading ~one extra forward's FLOPs for
+    # roughly forward-peak HBM — enables much larger train batches on
+    # one chip. Gradients are bit-identical (tested).
+    remat: bool = False
     extras: dict[str, Any] = field(default_factory=dict)
 
     def get(self, key, default=None):

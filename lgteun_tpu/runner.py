@@ -206,6 +206,8 @@ class Runner:
                 lambda x: x.astype(jnp.bfloat16)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
 
+        remat = bool(self.cfg.get("remat", False))
+
         def step(params, opt_states, batch, rng, iter_id):
             def loss_fn(p):
                 b = batch
@@ -218,9 +220,18 @@ class Runner:
                              and jnp.issubdtype(v.dtype, jnp.floating)
                              else v)
                          for k, v in batch.items()}
-                total, parts = method.losses(p, b, rng=rng,
-                                             iter_id=iter_id)
-                return total.astype(jnp.float32), parts
+
+                def raw(p_, b_):
+                    total, parts = method.losses(p_, b_, rng=rng,
+                                                 iter_id=iter_id)
+                    return total.astype(jnp.float32), parts
+
+                if remat:
+                    # cfg.remat: recompute the forward in the backward
+                    # pass instead of storing activation residuals
+                    # (identical grads; ~forward-peak memory)
+                    raw = jax.checkpoint(raw)
+                return raw(p, b)
 
             (_, parts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)

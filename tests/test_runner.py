@@ -261,6 +261,49 @@ def test_steps_per_dispatch_bit_identical(tmp_path):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_remat_training_matches_plain(tmp_path):
+    """cfg.remat=True (jax.checkpoint around the loss): the backward
+    recomputes the forward instead of storing residuals — parameter
+    trajectories must match the plain run to float-rounding tolerance
+    (remat is semantically a no-op)."""
+    import logging
+
+    import jax
+    import numpy as np
+
+    from lgteun_tpu.config import Config, LoaderCfg, LossCfg, OptimCfg
+    from lgteun_tpu.data.dataset import PSDataset
+    from lgteun_tpu.data.synthetic import make_synthetic_dataset
+    from lgteun_tpu.registry import build_model
+    from lgteun_tpu.runner import Runner
+
+    dirs = make_synthetic_dataset(str(tmp_path / "d"), n_train=4, n_test=0,
+                                  bands=4, size=64)
+    ds = PSDataset(image_dirs=[dirs["train"]], bit_depth=11)
+
+    def run(remat):
+        cfg = Config(model_type="lightnet", ms_chans=4, max_iter=6,
+                     save_freq=0, test_freq=0, eval_freq=0, log_freq=3,
+                     norm_input=True, remat=remat,
+                     work_dir=str(tmp_path / f"out{int(remat)}"),
+                     train_set_cfg=LoaderCfg(batch_size=2),
+                     optim_cfg={"core_module": OptimCfg(type="Adam",
+                                                        lr=2e-3)},
+                     loss_cfg={"rec_loss": LossCfg(type="l1", w=1.0)})
+        method = build_model(cfg.model_type, cfg)
+        runner = Runner(cfg, method, train_ds=ds,
+                        logger=logging.getLogger("remat_test"))
+        runner.init().set_optim().train()
+        return runner.params
+
+    p0 = run(False)
+    p1 = run(True)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_steps_per_dispatch_freq_auto_reduce(tmp_path):
     """sdp that doesn't divide a frequency is gcd-reduced (here
     log_freq=5, sdp=4 -> effective 1) and training still completes."""
