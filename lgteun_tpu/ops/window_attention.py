@@ -344,12 +344,18 @@ fused_window_attention_v3.defvjp(_fused_v3_fwd, _fused_v3_bwd)
 def _fused_v3_impl(xw, wqkv, bqkv, pos, *, heads: int, scale: float,
                    interpret: bool = False):
     """Pack [N, S, C] windows into lane-axis pairs, run the v3 kernel,
-    unpack (non-differentiable inner)."""
+    unpack (non-differentiable inner). The softmax form follows the
+    fuse ladder (trace-time `ops.fuse_level`): tanh-form exp at level
+    >= 2, plain exp below — so bench.py's level-1 retry falls back to
+    the on-chip-proven kernel variant here too."""
+    from lgteun_tpu.ops import fuse_level
+
     n, s, c = xw.shape
     xp = (xw.reshape(n // 2, 2, s, c).transpose(0, 3, 1, 2)
           .reshape(n // 2, c, 2 * s))
     out = fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, heads=heads,
-                                           scale=scale, interpret=interpret)
+                                           scale=scale, interpret=interpret,
+                                           tanh_exp=fuse_level() >= 2)
     return (out.reshape(n // 2, c, 2, s).transpose(0, 2, 3, 1)
             .reshape(n, s, c))
 
