@@ -1,0 +1,157 @@
+"""On-chip kernel prover: compile + run every Pallas kernel variant on
+small shapes and parity-check each against its XLA reference.
+
+Interpret-mode tests prove the kernel MATH; this script proves the
+MOSAIC LOWERING on the real chip — the part that can regress
+independently (VMEM limits, layout legality, transcendental lowering).
+Run it first when the TPU comes back after kernel work; it is much
+faster triage than a full bench.py attempt.
+
+Usage: python scripts/prove_kernels.py [--tol 2e-2]
+Exit code: number of failing kernels (0 = all proven).
+
+Tolerance note: Mosaic dots round operands to bf16, so fused-vs-XLA
+deltas at small magnitudes sit around 1e-3..1e-2 relative; the default
+tolerance is a regression gate, not a numerics claim (numerics are
+pinned by the interpret-mode tests + the f64-envelope tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/lgteun_jax"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12))
+
+
+def _cases(rng):
+    """(name, fused_fn, xla_fn) thunks on tiny-but-aligned shapes."""
+    from lgteun_tpu.ops.ffn_kernel import (
+        _fused_ln_ffn_impl, block_tail_xla, fused_block_tail_cm, ln_ffn_xla,
+    )
+    from lgteun_tpu.ops.spectral_kernel import (
+        fused_global_mixer_cm, fused_ln_mixer_head_cm, global_mixer_xla_cm,
+        ln_mixer_head_xla_cm,
+    )
+    from lgteun_tpu.ops.window_attention import (
+        fused_window_attention_v2, fused_window_attention_v3_packed,
+        window_attention_xla,
+    )
+
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32)
+    cases = []
+
+    # --- window attention -------------------------------------------------
+    n, s, c, heads = 8, 64, 16, 2
+    scale = (c // heads) ** -0.5
+    xw, wqkv, bqkv = f32(n, s, c), f32(c, 3 * c), f32(3 * c)
+    pos = f32(heads, s, s)
+    want_att = lambda: window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)
+    cases.append(("attention v2", lambda: fused_window_attention_v2(
+        xw, wqkv, bqkv, pos, heads, scale), want_att))
+    xp = (xw.reshape(n // 2, 2, s, c).transpose(0, 3, 1, 2)
+          .reshape(n // 2, c, 2 * s))
+    unpack = lambda o: (o.reshape(n // 2, c, 2, s).transpose(0, 2, 3, 1)
+                        .reshape(n, s, c))
+    for te in (False, True):
+        cases.append((f"attention v3 packed tanh_exp={te}",
+                      lambda te=te: unpack(fused_window_attention_v3_packed(
+                          xp, wqkv, bqkv, pos, heads=heads, scale=scale,
+                          tanh_exp=te)), want_att))
+
+    # --- LN+FFN (row-tiled) + tap engines ----------------------------------
+    cc, c4 = 16, 64
+    ffn = {"ln_gamma": 1.0 + f32(cc) * 0.1, "ln_beta": f32(cc),
+           "w1": f32(cc, c4), "b1": f32(c4), "w2": f32(c4, c4),
+           "b2": f32(c4), "dw": f32(3, 3, c4), "bdw": f32(c4),
+           "w3": f32(c4, cc), "b3": f32(cc)}
+    x_nhwc = f32(2, 16, 128, cc)
+    want_ffn = lambda: ln_ffn_xla(x_nhwc, ffn)
+    for taps in ("vpu", "mxu"):
+        cases.append((f"ln_ffn taps={taps}",
+                      lambda taps=taps: _fused_ln_ffn_impl(
+                          x_nhwc, ffn, tile_rows=8, taps=taps), want_ffn))
+
+    # --- block tail: row-tiled + whole-image rolls, both tap engines -------
+    xt, x1t, x2t = f32(2, cc, 16, 128), f32(2, cc // 2, 16, 128), f32(
+        2, cc // 2, 16, 128)
+    pk, pb = f32(cc, cc), f32(cc)
+    want_tail = lambda: block_tail_xla(xt, x1t, x2t, pk, pb, ffn)
+    xr, x1r, x2r = f32(2, cc, 16, 16), f32(2, cc // 2, 16, 16), f32(
+        2, cc // 2, 16, 16)
+    want_rolls = lambda: block_tail_xla(xr, x1r, x2r, pk, pb, ffn)
+    for taps in ("vpu", "mxu"):
+        cases.append((f"block tail tiled taps={taps}",
+                      lambda taps=taps: fused_block_tail_cm(
+                          xt, x1t, x2t, pk, pb, ffn, tile_rows=8, taps=taps),
+                      want_tail))
+        cases.append((f"block tail rolls taps={taps}",
+                      lambda taps=taps: fused_block_tail_cm(
+                          xr, x1r, x2r, pk, pb, ffn, taps=taps), want_rolls))
+
+    # --- global mixer + mixer head, both trig engines ----------------------
+    cm = 8
+    xg = f32(2, cm, 64, 64)
+    asc, abi, psc, pbi = f32(cm), f32(cm) * 0.1, f32(cm), f32(cm) * 0.1
+    want_mix = lambda: global_mixer_xla_cm(xg, asc, abi, psc, pbi)
+    xh = f32(2, 2 * cm, 64, 64)
+    lng, lnb = 1.0 + f32(2 * cm) * 0.1, f32(2 * cm)
+    want_head = lambda: ln_mixer_head_xla_cm(xh, lng, lnb, asc, abi, psc,
+                                             pbi)
+    for trig in ("native", "poly"):
+        cases.append((f"global mixer trig={trig}",
+                      lambda trig=trig: fused_global_mixer_cm(
+                          xg, asc, abi, psc, pbi, trig=trig), want_mix))
+        cases.append((f"mixer head trig={trig}",
+                      lambda trig=trig: fused_ln_mixer_head_cm(
+                          xh, lng, lnb, asc, abi, psc, pbi, trig=trig),
+                      want_head))
+    return cases
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tol", type=float, default=2e-2)
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+
+    rng = np.random.default_rng(0)
+    fails = 0
+    for name, fused, want in _cases(rng):
+        t0 = time.perf_counter()
+        try:
+            got = jax.tree.map(np.asarray, fused())   # readback = sync
+            ref = jax.tree.map(np.asarray, want())
+            rel = max(_rel(g, r) for g, r in zip(jax.tree.leaves(got),
+                                                 jax.tree.leaves(ref)))
+            ok = rel <= args.tol
+            fails += not ok
+            print(f"{'PASS' if ok else 'FAIL':4s} {name:32s} "
+                  f"rel={rel:.2e}  ({time.perf_counter() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — triage tool, keep going
+            fails += 1
+            msg = str(e).splitlines()[0][:120]
+            print(f"FAIL {name:32s} {type(e).__name__}: {msg}")
+    print(f"{fails} failing")
+    return fails
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
