@@ -321,11 +321,13 @@ def fused_window_attention_v3(xw, wqkv, bqkv, pos, heads: int, scale: float):
     windows independently (block-diagonal position bias with -1e9
     masks), so ANY pairing of windows is exact; consecutive windows
     from `window_partition` are used for locality."""
-    return _fused_v3_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale)
+    return _fused_v3_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale,
+                          tanh_exp=_v3_tanh_exp())
 
 
 def _fused_v3_fwd(xw, wqkv, bqkv, pos, heads, scale):
-    return (_fused_v3_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale),
+    return (_fused_v3_impl(xw, wqkv, bqkv, pos, heads=heads, scale=scale,
+                           tanh_exp=_v3_tanh_exp()),
             (xw, wqkv, bqkv, pos))
 
 
@@ -340,22 +342,30 @@ def _fused_v3_bwd(heads, scale, res, g):
 fused_window_attention_v3.defvjp(_fused_v3_fwd, _fused_v3_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
-def _fused_v3_impl(xw, wqkv, bqkv, pos, *, heads: int, scale: float,
-                   interpret: bool = False):
-    """Pack [N, S, C] windows into lane-axis pairs, run the v3 kernel,
-    unpack (non-differentiable inner). The softmax form follows the
-    fuse ladder (trace-time `ops.fuse_level`): tanh-form exp at level
-    >= 2, plain exp below — so bench.py's level-1 retry falls back to
-    the on-chip-proven kernel variant here too."""
+def _v3_tanh_exp() -> bool:
+    """The [N,S,C] wrapper's softmax form follows the fuse ladder:
+    tanh-form exp at level >= 2, plain (on-chip-proven) exp below.
+    Read in the custom_vjp primal/fwd bodies — those re-trace with
+    every OUTER jit, and the value is then passed to `_fused_v3_impl`
+    as a static arg so its jit cache keys on it (an env read inside
+    the inner jit would go stale when the env changes in-process)."""
     from lgteun_tpu.ops import fuse_level
 
+    return fuse_level() >= 2
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret",
+                                             "tanh_exp"))
+def _fused_v3_impl(xw, wqkv, bqkv, pos, *, heads: int, scale: float,
+                   interpret: bool = False, tanh_exp: bool = True):
+    """Pack [N, S, C] windows into lane-axis pairs, run the v3 kernel,
+    unpack (non-differentiable inner)."""
     n, s, c = xw.shape
     xp = (xw.reshape(n // 2, 2, s, c).transpose(0, 3, 1, 2)
           .reshape(n // 2, c, 2 * s))
     out = fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, heads=heads,
                                            scale=scale, interpret=interpret,
-                                           tanh_exp=fuse_level() >= 2)
+                                           tanh_exp=tanh_exp)
     return (out.reshape(n // 2, c, 2, s).transpose(0, 2, 3, 1)
             .reshape(n, s, c))
 
