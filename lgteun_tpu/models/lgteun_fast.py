@@ -15,10 +15,12 @@ channel-major [B, C, H, W] throughout the LGT prior:
   axis 1; the FFT mixer uses the channel-major DFT pair
   (`rfft2_pair_cm`); resizes use `sample_scale_cm`.
 
-Measured (v5e, batch 96, WV-3 8-band, K=2): 112 -> 99 ms/batch vs the
-NHWC module path (15.9 MP/s, 12.9x the RTX-3090 reference; the packed
-v3 attention kernel is most of the win — profiling shows the residual
-cost is inside the fused kernels' bodies, see ROADMAP).
+Measured (v5e, batch 96, WV-3 8-band, K=2): 76.9 ms/batch = 20.5 MP/s,
+16.6x the RTX-3090 reference (the packed v3 attention kernel and the
+memory-system overhaul are most of the win; profiling localises the
+residual cost inside the fused kernels' bodies, see ROADMAP). The
+round-3 head/tail/roll kernels and engine variants are staged behind
+`lgteun_tpu.ops.fuse_level` pending on-chip measurement.
 
 Used by the `UnlgFormer` Method for TPU inference (LGTEUN_FAST=0
 restores the flax module path); training and other backends always use
