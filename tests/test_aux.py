@@ -29,6 +29,27 @@ def test_linear_stretch_range(rng):
     assert (np.diff(o[order]) >= -1e-9).all()
 
 
+def test_engine_flag_parsing(monkeypatch):
+    """Env-driven engine selectors must fall back to their defaults on
+    garbage values (bench subprocesses set these; a typo must degrade
+    gracefully, not crash a trace)."""
+    from lgteun_tpu.ops import fuse_level
+    from lgteun_tpu.ops.ffn_kernel import _taps_mode
+    from lgteun_tpu.ops.spectral_kernel import _trig_mode
+
+    for env, fn, good, default in [
+        ("LGTEUN_FUSE_LEVEL", fuse_level, ("0", 0), 2),
+        ("LGTEUN_FFN_TAPS", _taps_mode, ("mxu", "mxu"), "vpu"),
+        ("LGTEUN_MIXER_TRIG", _trig_mode, ("poly", "poly"), "native"),
+    ]:
+        monkeypatch.delenv(env, raising=False)
+        assert fn() == default
+        monkeypatch.setenv(env, good[0])
+        assert fn() == good[1]
+        monkeypatch.setenv(env, "garbage")
+        assert fn() == default
+
+
 def test_save_preview_png(tmp_path, rng):
     img = rng.integers(0, 255, size=(4, 16, 16)).astype(np.float64)
     p = save_preview_png(img, str(tmp_path / "x.png"))
