@@ -36,6 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_ln_ffn", "fused_ln_ffn_cm", "fused_block_tail_cm",
            "ln_ffn_xla"]
 
+# Whole-image-per-program kernels exceed Mosaic's default 16 MiB scoped
+# VMEM (measured on chip: the block tail needs 17.89 MiB at the
+# [96,32,128,128] headline shape — resident x/x1/x2/out images plus the
+# per-tile seg/h1/h2 temporaries). v5e has 128 MiB physical VMEM; raise
+# the cap and let the compiler place what the kernel actually uses.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def ln_ffn_xla(x, params, eps=1e-5, dtype=None):
     """Reference XLA implementation of out = x + FFN(LN(x)).
@@ -455,6 +462,7 @@ def _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
         ],
         out_specs=pl.BlockSpec((1, c, h * w), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret or jax.default_backend() != "tpu",
     )(x_cm.reshape(b, c, h * w), x1_cm.reshape(b, ch, h * w),
       x2_cm.reshape(b, ch, h * w),
@@ -552,6 +560,7 @@ def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
         ],
         out_specs=pl.BlockSpec((1, c, h * w), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret or jax.default_backend() != "tpu",
     )(xc, col(params["ln_gamma"]), col(params["ln_beta"]),
       params["w1"].T, col(params["b1"]), params["w2"].T, col(params["b2"]),

@@ -45,6 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_global_mixer_cm", "fused_ln_mixer_head_cm",
            "global_mixer_xla_cm", "ln_mixer_head_xla_cm"]
 
+# Whole-image-per-program kernels can exceed Mosaic's default 16 MiB
+# scoped VMEM at the headline batch shapes (see ops/ffn_kernel.py);
+# v5e has 128 MiB physical VMEM — raise the cap.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 # atan(t)/t as a polynomial in t^2 on [0, 1]; weighted-minimax LS fit,
 # max |atan err| 5.8e-9
 _ATAN_COEFFS = (9.9999988639e-01, -3.3332596975e-01, 1.9985905766e-01,
@@ -242,6 +247,7 @@ def _fused_global_mixer_impl(x, amp_scale, amp_bias, pha_scale, pha_bias, *,
         ] + [const((m.shape[0], m.shape[1])) for m in mats],
         out_specs=pl.BlockSpec((1, c, h, w), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret or jax.default_backend() != "tpu",
     )(x, col(amp_scale), col(amp_bias), col(pha_scale), col(pha_bias),
       *(jnp.asarray(m) for m in mats))
@@ -312,6 +318,7 @@ def _fused_head_impl(x, ln_scale, ln_bias, amp_scale, amp_bias,
             const((c2, 1)), const((c2, 1)), const((c2, 1)), const((c2, 1)),
         ] + [const((m.shape[0], m.shape[1])) for m in mats],
         out_specs=(img(c2), img(c2)),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret or jax.default_backend() != "tpu",
     )(x, col(ln_scale), col(ln_bias), col(amp_scale), col(amp_bias),
       col(pha_scale), col(pha_bias), *(jnp.asarray(m) for m in mats))
