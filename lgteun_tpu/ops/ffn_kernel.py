@@ -125,6 +125,11 @@ def _taps_mode() -> str:
                        Mosaic dot's bf16 operand rounding (same class
                        as the kernel's other matmuls; inference only)
 
+    Measured v5e A/B at the headline shape (scripts/ablate_fast_path.py,
+    [96,32,128,128] full path): vpu 61.9 ms vs mxu 71.6 ms — the 3x
+    sublane stack + extra dw matmul traffic costs more than the 9 VPU
+    madds save, so vpu stays the default.
+
     Exists for on-chip ablation of the tap engines (profiling put ~25%
     of the fused FFN kernel in the VPU tap loop)."""
     mode = _os.environ.get("LGTEUN_FFN_TAPS", "vpu").lower()

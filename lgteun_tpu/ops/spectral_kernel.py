@@ -105,11 +105,13 @@ def _sincos_poly(x):
 
 def _trig_mode() -> str:
     """Trig engine for the fused mixer kernels (env LGTEUN_MIXER_TRIG,
-    resolved at the non-jitted kernel entries): 'native' (default)
-    Mosaic sin/cos; 'poly' the `_sincos_poly` Horner chains. Exists for
-    on-chip ablation."""
-    mode = _os.environ.get("LGTEUN_MIXER_TRIG", "native").lower()
-    return mode if mode in ("native", "poly") else "native"
+    resolved at the non-jitted kernel entries): 'poly' (default) the
+    `_sincos_poly` Horner chains; 'native' Mosaic sin/cos. Measured
+    v5e A/B at the headline shape (scripts/ablate_fast_path.py,
+    [96,32,128,128] full path): poly 59.9 ms vs native 62.2 ms —
+    poly wins ~4% end-to-end at f32-floor accuracy, so it ships."""
+    mode = _os.environ.get("LGTEUN_MIXER_TRIG", "poly").lower()
+    return mode if mode in ("native", "poly") else "poly"
 
 
 @functools.lru_cache(maxsize=None)
