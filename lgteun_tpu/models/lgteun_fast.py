@@ -15,12 +15,14 @@ channel-major [B, C, H, W] throughout the LGT prior:
   axis 1; the FFT mixer uses the channel-major DFT pair
   (`rfft2_pair_cm`); resizes use `sample_scale_cm`.
 
-Measured (v5e, batch 96, WV-3 8-band, K=2): 76.9 ms/batch = 20.5 MP/s,
-16.6x the RTX-3090 reference (the packed v3 attention kernel and the
-memory-system overhaul are most of the win; profiling localises the
-residual cost inside the fused kernels' bodies, see ROADMAP). The
-round-3 head/tail/roll kernels and engine variants are staged behind
-`lgteun_tpu.ops.fuse_level` pending on-chip measurement.
+Measured (v5e, batch 96, WV-3 8-band, K=2): 59.9 ms/batch = 26.3 MP/s,
+21.3x the RTX-3090 reference, with the full fused trunk on chip:
+mixer-head kernel -> packed v3 attention (tanh-form softmax) ->
+block-tail kernel, poly-trig engine (all 13 kernel variants PASS
+scripts/prove_kernels.py; `LGTEUN_FUSE_LEVEL` 2/1/0 stages them).
+On-chip ablation attributes ~54 of the 60 ms to the block-tail kernel,
+which is itself within ~30% of a same-FLOPs matmul probe and VPU-bound
+(GELU + taps) — see README "Known bottleneck".
 
 Used by the `UnlgFormer` Method for TPU inference (LGTEUN_FAST=0
 restores the flax module path); training and other backends always use
