@@ -40,7 +40,7 @@ def test_engine_flag_parsing(monkeypatch):
     for env, fn, good, default in [
         ("LGTEUN_FUSE_LEVEL", fuse_level, ("0", 0), 2),
         ("LGTEUN_FFN_TAPS", _taps_mode, ("mxu", "mxu"), "vpu"),
-        ("LGTEUN_MIXER_TRIG", _trig_mode, ("poly", "poly"), "native"),
+        ("LGTEUN_MIXER_TRIG", _trig_mode, ("native", "native"), "poly"),
     ]:
         monkeypatch.delenv(env, raising=False)
         assert fn() == default
