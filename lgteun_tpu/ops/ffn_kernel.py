@@ -100,16 +100,57 @@ _ERF_TANH_Q = (1.1283797847e+00, 1.0276470515e-01, -1.8250625709e-04,
                1.6583619694e-07)
 
 
-def _gelu_exact(x):
+# tanh(y) = y * N(y^2)/D(y^2): Lawson-reweighted least-squares rational
+# fit on y in [0, 8.7] (tanh(8.7) is within half an f32 ulp of 1.0, so
+# the clamp saturates exactly like tanh does). |tanh err| <= 3.4e-7
+# evaluated in f32 Horner, which composes to |gelu err| <= 1.3e-6 —
+# well inside the fused kernels' 3e-5 test tolerance and the 5e-4
+# torch-parity budget. A/B'd against Mosaic's tanh primitive and LOST:
+# 74.8 vs 59.5 ms full fast path at [96,32,128,128] (v5e) — the VPU
+# divide costs more than Mosaic's whole tanh, so 'tanh' ships.
+_TANH_RAT_N = (0.9999999319374541, 0.13393122814163347,
+               0.0035102273185180504, 2.0861321721423918e-05,
+               1.3727519360705251e-08)
+_TANH_RAT_D = (1.0, 0.4672642910252975, 0.025931971607585123,
+               0.00033100555497621087, 7.924090953224292e-07)
+
+
+def _tanh_rational(y):
+    t = jnp.clip(y, -8.7, 8.7)
+    u = t * t
+    n = jnp.float32(_TANH_RAT_N[-1])
+    for c in _TANH_RAT_N[-2::-1]:
+        n = n * u + jnp.float32(c)
+    d = jnp.float32(_TANH_RAT_D[-1])
+    for c in _TANH_RAT_D[-2::-1]:
+        d = d * u + jnp.float32(c)
+    return t * (n / d)
+
+
+def _gelu_mode() -> str:
+    """tanh engine inside the fused kernels' GELU (env LGTEUN_GELU,
+    resolved at the non-jitted kernel entries): 'tanh' (default)
+    Mosaic's tanh primitive; 'rational' the `_tanh_rational` N4/D4
+    Horner chains. Measured v5e A/B at the headline shape: tanh 59.5
+    vs rational 74.8 ms full path — Mosaic's tanh wins, it ships.
+    (GELU overall is ~26% of the block-tail kernel per
+    scripts/bench_tail_internals.py; the tanh call is evidently the
+    cheap part of it.)"""
+    mode = _os.environ.get("LGTEUN_GELU", "tanh").lower()
+    return mode if mode in ("tanh", "rational") else "tanh"
+
+
+def _gelu_exact(x, rational=False):
     """0.5 x (1 + erf(x/sqrt2)) with erf = tanh(z Q(z^2)) (|err| <
     1.6e-7 == f32 rounding); Mosaic has no erf/erfc primitive and its
-    exp is far slower than tanh on the VPU."""
+    exp is far slower than tanh on the VPU. `rational` swaps Mosaic's
+    tanh for the `_tanh_rational` approximation (|gelu err| <= 1.3e-6)."""
     z = jnp.clip(x * 0.7071067811865476, -4.2, 4.2)
     u = z * z
     q = jnp.float32(_ERF_TANH_Q[-1])
     for c in _ERF_TANH_Q[-2::-1]:
         q = q * u + jnp.float32(c)
-    erf = jnp.tanh(z * q)
+    erf = _tanh_rational(z * q) if rational else jnp.tanh(z * q)
     return 0.5 * x * (1.0 + erf)
 
 
@@ -177,7 +218,7 @@ def _dw_taps(h2, dw, *, th, w, c4, left_edge, right_edge, mxu):
 
 
 def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
-            w3t, b3, out_ref, *, th, w, c, c4, h_img, eps, mxu):
+            w3t, b3, out_ref, *, th, w, c, c4, h_img, eps, mxu, rat):
     """Whole image [1, c, h*w] per program, inner Python loop over
     `th`-row tiles.
 
@@ -219,7 +260,7 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
         y = (seg - mu) * jax.lax.rsqrt(var + eps)
         y = y * ln_g[:] + ln_b[:]  # [c,1] blocks broadcast over lanes
 
-        h1 = _gelu_exact(mm(w1t[:], y, b1))   # [c4, (th+2)w]
+        h1 = _gelu_exact(mm(w1t[:], y, b1), rational=rat)  # [c4,(th+2)w]
         h2 = mm(w2t[:], h1, b2)               # [c4, (th+2)w]
 
         # zero the out-of-image halo row (torch zero padding); which
@@ -234,7 +275,7 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
 
         acc = _dw_taps(h2, dw[:], th=th, w=w, c4=c4, left_edge=left_edge,
                        right_edge=right_edge, mxu=mxu)
-        acc = _gelu_exact(acc + bdw[:])
+        acc = _gelu_exact(acc + bdw[:], rational=rat)
 
         out = mm(w3t[:], acc, b3)  # [c, th*w]
         out_ref[0, :, lo:hi] = (out + xi[:, lo:hi]).astype(out_ref.dtype)
@@ -242,7 +283,7 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
 
 def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
                  w2t, b2, dw, bdw, w3t, b3, out_ref, *, th, w, c, c4, h_img,
-                 eps, mxu):
+                 eps, mxu, rat):
     """Block-tail: xm = x + proj([x1; x2]); out = xm + FFN(LN(xm)).
 
     Same whole-image-per-program structure as `_kernel`; the 1x1 proj
@@ -285,7 +326,7 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
         y = (xm - mu) * jax.lax.rsqrt(var + eps)
         y = y * ln_g[:] + ln_b[:]
 
-        h1 = _gelu_exact(mm(w1t[:], y, b1))
+        h1 = _gelu_exact(mm(w1t[:], y, b1), rational=rat)
         h2 = mm(w2t[:], h1, b2)
 
         if ti == 0 or ti == nt - 1:
@@ -298,7 +339,7 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
 
         acc = _dw_taps(h2, dw[:], th=th, w=w, c4=c4, left_edge=left_edge,
                        right_edge=right_edge, mxu=mxu)
-        acc = _gelu_exact(acc + bdw[:])
+        acc = _gelu_exact(acc + bdw[:], rational=rat)
 
         out = mm(w3t[:], acc, b3)
         # seg_of always prepends one halo row (zeros at the image top),
@@ -309,7 +350,7 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
 
 def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
                        w1t, b1, w2t, b2, dw, bdw, w3t, b3, out_ref, *, w, c,
-                       c4, n, eps, mxu):
+                       c4, n, eps, mxu, rat):
     """Whole-image, roll-based variant of `_tail_kernel` for images
     whose row length W is not a multiple of the 128-lane tile (the
     64x64 bottleneck scale). Halo lane-slices at W-offsets would be
@@ -334,7 +375,7 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
     y = (xm - mu) * jax.lax.rsqrt(var + eps)
     y = y * ln_g[:] + ln_b[:]
 
-    h1 = _gelu_exact(mm(w1t[:], y, b1))
+    h1 = _gelu_exact(mm(w1t[:], y, b1), rational=rat)
     h2 = mm(w2t[:], h1, b2)
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -372,7 +413,7 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
                 if ok is not None:
                     t = jnp.where(ok, t, 0.0)
                 acc = acc + t * dw[:, 3 * dr + dc][:, None]
-    acc = _gelu_exact(acc + bdw[:])
+    acc = _gelu_exact(acc + bdw[:], rational=rat)
 
     out = mm(w3t[:], acc, b3)
     out_ref[0] = (out + xm).astype(out_ref.dtype)
@@ -393,7 +434,8 @@ def block_tail_xla(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias, ffn_params,
 def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
                         ffn_params, *, eps: float = 1e-5,
                         tile_rows: int = 32, interpret: bool = False,
-                        taps: str | None = None):
+                        taps: str | None = None,
+                        gelu: str | None = None):
     """Fused LGB block tail on channel-major [B, C, H, W]:
 
         xm  = x + proj([x1; x2])      (the mixer 1x1 proj + residual)
@@ -411,31 +453,34 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
     variant.
 
     `taps` selects the depthwise-tap engine ('vpu'/'mxu', see
-    `_taps_mode`); None reads LGTEUN_FFN_TAPS at trace time."""
+    `_taps_mode`) and `gelu` the tanh engine ('tanh'/'rational', see
+    `_gelu_mode`); None reads the env flags at trace time."""
     return _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel,
                                   proj_bias, ffn_params, eps=eps,
                                   tile_rows=tile_rows, interpret=interpret,
-                                  taps=taps or _taps_mode())
+                                  taps=taps or _taps_mode(),
+                                  gelu=gelu or _gelu_mode())
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret",
-                                             "taps"))
+                                             "taps", "gelu"))
 def _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
                            ffn_params, *, eps: float, tile_rows: int,
-                           interpret: bool, taps: str):
+                           interpret: bool, taps: str, gelu: str = "tanh"):
     b, c, h, w = x_cm.shape
     c4 = ffn_params["w1"].shape[-1]
     ch = c // 2
     mxu = taps == "mxu"
+    rat = gelu == "rational"
     if w % 128 == 0:
         th = tile_rows
         while h % th:
             th //= 2
         kernel = functools.partial(_tail_kernel, th=th, w=w, c=c, c4=c4,
-                                   h_img=h, eps=eps, mxu=mxu)
+                                   h_img=h, eps=eps, mxu=mxu, rat=rat)
     elif (h * w) % 128 == 0:
         kernel = functools.partial(_tail_kernel_rolls, w=w, c=c, c4=c4,
-                                   n=h * w, eps=eps, mxu=mxu)
+                                   n=h * w, eps=eps, mxu=mxu, rat=rat)
     else:
         raise ValueError(f"image {h}x{w} is not lane-tile aligned")
     col = lambda p: p.reshape(-1, 1)
@@ -501,36 +546,37 @@ fused_ln_ffn.defvjp(_fused_ln_ffn_fwd, _fused_ln_ffn_bwd)
 
 
 def fused_ln_ffn_cm(x_cm, params, *, eps: float = 1e-5,
-                    taps: str | None = None):
+                    taps: str | None = None, gelu: str | None = None):
     """`fused_ln_ffn` for channel-major [B, C, H, W] input/output —
     the layout the kernel uses internally, so the NHWC<->CM moveaxis
     relayouts disappear (the channel-major LGT trunk's FFN entry).
     Inference path (no custom_vjp; the NHWC wrapper covers training)."""
     b, c, h, w = x_cm.shape
     return _ffn_kernel_call(x_cm.reshape(b, c, h * w), b, h, w, c, params,
-                            eps=eps,
-                            taps=taps or _taps_mode()).reshape(b, c, h, w)
+                            eps=eps, taps=taps or _taps_mode(),
+                            gelu=gelu or _gelu_mode()).reshape(b, c, h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret",
-                                             "taps"))
+                                             "taps", "gelu"))
 def _fused_ln_ffn_impl(x, params, *, eps: float = 1e-5, tile_rows: int = 32,
-                       interpret: bool = False, taps: str = "vpu"):
+                       interpret: bool = False, taps: str = "vpu",
+                       gelu: str = "tanh"):
     """Kernel invocation (non-differentiable inner)."""
     b, h, w, c = x.shape
     xc = jnp.moveaxis(x, -1, 1).reshape(b, c, h * w)
     out = _ffn_kernel_call(xc, b, h, w, c, params, eps=eps,
                            tile_rows=tile_rows, interpret=interpret,
-                           taps=taps)
+                           taps=taps, gelu=gelu)
     return jnp.moveaxis(out.reshape(b, c, h, w), 1, -1)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("b", "h", "w", "c", "eps", "tile_rows",
-                                    "interpret", "taps"))
+                                    "interpret", "taps", "gelu"))
 def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
                      tile_rows: int = 32, interpret: bool = False,
-                     taps: str = "vpu"):
+                     taps: str = "vpu", gelu: str = "tanh"):
     """Core pallas_call on channel-major [B, C, H*W] pixels."""
     c4 = params["w1"].shape[-1]
     th = tile_rows
@@ -539,7 +585,7 @@ def _ffn_kernel_call(xc, b, h, w, c, params, *, eps: float = 1e-5,
     mxu = taps == "mxu"
 
     kernel = functools.partial(_kernel, th=th, w=w, c=c, c4=c4, h_img=h,
-                               eps=eps, mxu=mxu)
+                               eps=eps, mxu=mxu, rat=gelu == "rational")
     col = lambda p: p.reshape(-1, 1)
     const = lambda shp: pl.BlockSpec(shp, lambda bi: tuple(0 for _ in shp),
                                      memory_space=pltpu.VMEM)

@@ -90,13 +90,13 @@ def main():
     saved_gelu = FK._gelu_exact
     saved_taps = FK._dw_taps
     try:
-        FK._gelu_exact = lambda t: t
+        FK._gelu_exact = lambda t, **k: t
         print(f"tail - gelu        : {timed(tail, x):6.2f} ms")
         FK._gelu_exact = saved_gelu
         FK._dw_taps = (lambda h2, dw, *, th, w, c4, left_edge,
                        right_edge, mxu: h2[:, w:-w])
         print(f"tail - taps        : {timed(tail, x):6.2f} ms")
-        FK._gelu_exact = lambda t: t
+        FK._gelu_exact = lambda t, **k: t
         print(f"tail - gelu - taps : {timed(tail, x):6.2f} ms")
     finally:
         FK._gelu_exact = saved_gelu

@@ -34,13 +34,14 @@ def test_engine_flag_parsing(monkeypatch):
     garbage values (bench subprocesses set these; a typo must degrade
     gracefully, not crash a trace)."""
     from lgteun_tpu.ops import fuse_level
-    from lgteun_tpu.ops.ffn_kernel import _taps_mode
+    from lgteun_tpu.ops.ffn_kernel import _gelu_mode, _taps_mode
     from lgteun_tpu.ops.spectral_kernel import _trig_mode
 
     for env, fn, good, default in [
         ("LGTEUN_FUSE_LEVEL", fuse_level, ("0", 0), 2),
         ("LGTEUN_FFN_TAPS", _taps_mode, ("mxu", "mxu"), "vpu"),
         ("LGTEUN_MIXER_TRIG", _trig_mode, ("native", "native"), "poly"),
+        ("LGTEUN_GELU", _gelu_mode, ("rational", "rational"), "tanh"),
     ]:
         monkeypatch.delenv(env, raising=False)
         assert fn() == default

@@ -31,6 +31,26 @@ def test_fused_matches_xla(rng, b, h, w, c, c4, taps):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
 
 
+def test_rational_gelu_engine_matches_xla(rng):
+    """LGTEUN_GELU=rational (the `_tanh_rational` engine, A/B'd and not
+    shipped as default) must stay numerically interchangeable with the
+    Mosaic-tanh engine."""
+    x = rng.standard_normal((2, 16, 32, 16)).astype(np.float32)
+    params = {k: jax.numpy.asarray(v) for k, v in _params(rng, 16, 64).items()}
+    want = np.asarray(ln_ffn_xla(x, params))
+    got = np.asarray(_fused_ln_ffn_impl(x, params, tile_rows=8,
+                                        interpret=True, gelu="rational"))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_tanh_rational_accuracy():
+    """|tanh err| <= 5e-7 over the full clamped domain."""
+    from lgteun_tpu.ops.ffn_kernel import _tanh_rational
+    y = jax.numpy.linspace(-12.0, 12.0, 100001)
+    err = np.abs(np.asarray(_tanh_rational(y)) - np.tanh(np.asarray(y)))
+    assert err.max() < 5e-7
+
+
 def test_edge_padding_semantics(rng):
     """Top/bottom tiles must see zero-padded depthwise halo exactly like
     torch's SAME conv — verified by comparing against XLA on an input
