@@ -28,6 +28,53 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_SECONDS_PER_IMG = 0.0133  # RTX 3090, WV-3, paper Table 4
 IMG_PIXELS = 128 * 128
+
+
+def _cached_init_params(method, c):
+    """Initialise the benchmark params, with a disk cache.
+
+    `Method.init_params` traces the whole flax module — a ~100 s XLA
+    compile when the host has few cores (observed: a 1-vCPU session).
+    The init is deterministic (fixed PRNGKey), so the flattened leaves
+    are cached as an .npz keyed by the jax/flax versions and the bench
+    config; any load problem falls back to a fresh init."""
+    import flax
+
+    key = f"jax{jax.__version__}-flax{flax.__version__}-c{c}-stage2-v1"
+    path = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
+                        f"bench_params_{key}.npz")
+    sep = "||"
+    try:
+        with np.load(path) as z:
+            tree = {}
+            for k in z.files:
+                node, parts = tree, k.split(sep)
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = jnp.asarray(z[k])
+            if tree:
+                return tree
+    except Exception:
+        pass
+    params = method.init_params(jax.random.PRNGKey(0), (32, 128))
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            kk = f"{prefix}{sep}{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, kk)
+            else:
+                flat[kk] = np.asarray(v)
+
+    walk(params, "")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path + ".tmp.npz", **flat)
+        os.replace(path + ".tmp.npz", path)
+    except Exception:
+        pass
+    return params
 REF_MPS = IMG_PIXELS / REF_SECONDS_PER_IMG / 1e6
 
 
@@ -48,7 +95,7 @@ def main():
     rng = np.random.default_rng(0)
     ms = jnp.asarray(rng.uniform(0, 1, (batch, 32, 32, c)), jnp.float32)
     pan = jnp.asarray(rng.uniform(0, 1, (batch, 128, 128, 1)), jnp.float32)
-    params = method.init_params(jax.random.PRNGKey(0), (32, 128))
+    params = _cached_init_params(method, c)
 
     # Honest timing on a tunneled TPU backend: per-dispatch round-trip
     # latency is large, so the iteration loop runs ON DEVICE via a
@@ -105,8 +152,12 @@ def _run_guarded():
     import subprocess
     import sys
 
-    per_attempt_s = 420
-    fuse_ladder = (2, 2, 1, 1, 0)
+    # 550 s per attempt: cold-cache XLA compiles run minutes on a
+    # low-core host (observed 1-vCPU sessions: ~100 s for the flax
+    # init alone before it was disk-cached, ~2 min for the fused-path
+    # program); the shorter ladder keeps the worst case ~37 min.
+    per_attempt_s = 550
+    fuse_ladder = (2, 2, 1, 0)
     for i, level in enumerate(fuse_ladder):
         env = dict(os.environ, LGTEUN_FUSE_LEVEL=str(level))
         try:
