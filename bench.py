@@ -37,7 +37,12 @@ def _cached_init_params(method, c):
     compile when the host has few cores (observed: a 1-vCPU session).
     The init is deterministic (fixed PRNGKey), so the flattened leaves
     are cached as an .npz keyed by the jax/flax versions and the bench
-    config; any load problem falls back to a fresh init."""
+    config; any load problem falls back to a fresh init.
+
+    The cached tree is validated against `jax.eval_shape` of the live
+    init (tree structure + leaf shapes/dtypes, no XLA compile), so a
+    model-structure change invalidates stale caches instead of feeding
+    `method.apply` a mismatched tree."""
     import flax
 
     key = f"jax{jax.__version__}-flax{flax.__version__}-c{c}-stage2-v1"
@@ -52,7 +57,15 @@ def _cached_init_params(method, c):
                 for p in parts[:-1]:
                     node = node.setdefault(p, {})
                 node[parts[-1]] = jnp.asarray(z[k])
-            if tree:
+        if tree:
+            expected = jax.eval_shape(
+                lambda k: method.init_params(k, (32, 128)),
+                jax.random.PRNGKey(0))
+            exp_flat, exp_def = jax.tree.flatten(expected)
+            got_flat, got_def = jax.tree.flatten(tree)
+            if (exp_def == got_def
+                    and all(e.shape == g.shape and e.dtype == g.dtype
+                            for e, g in zip(exp_flat, got_flat))):
                 return tree
     except Exception:
         pass

@@ -207,6 +207,16 @@ def mtf_kernel(gnyq: float, scale: int = 4, n: int = 41) -> np.ndarray:
     GNyq2win)."""
     fcut = 1.0 / scale
     alpha = np.sqrt(((n - 1) * (fcut / 2.0)) ** 2 / (-2.0 * np.log(gnyq)))
+    return mtf_kernel_from_alpha(float(alpha), n)
+
+
+@functools.lru_cache(maxsize=None)
+def mtf_kernel_from_alpha(alpha: float, n: int = 41) -> np.ndarray:
+    """The Gaussian-response + radial-Kaiser + window-method FIR design
+    for a precomputed Gaussian std `alpha`. Split out of `mtf_kernel`
+    because the Wald downgrade path (data/synthetic.py) must reproduce
+    the reference's *float32* alpha arithmetic for the QB/IKONOS/
+    GeoEye1 gain tables (reference model_based_utils.py:206)."""
     t = np.arange(-(n - 1) // 2, (n + 2) // 2, dtype=np.float64)
     t1, t2 = np.meshgrid(t, t)
     h = np.exp(-0.5 * (t1 / alpha) ** 2) * np.exp(-0.5 * (t2 / alpha) ** 2)

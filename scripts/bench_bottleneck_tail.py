@@ -90,23 +90,28 @@ def main():
                               ffn_params=fp),
             x, x1, x2)
 
-        # same-FLOPs matmul probe: proj (2x [c,ch]) + w1 + w2 + 9-tap-as-
-        # [c4,9c4] + w3 on [*, h*w] pixel blocks
-        wtap = jnp.asarray(rng.normal(size=(c4, 3 * c4)), jnp.float32)
+        # same-FLOPs matmul probe: proj (2x [ch,c]) + w1 + w2 + the tap
+        # chain as _tail_kernel_rolls' MXU form — 3 matmuls of
+        # [3c4,c4] against a 3-way channel-stacked input (one per row
+        # offset, 9*c4^2*n MACs total) + w3, all on [C, h*w] pixel
+        # blocks with the batch dim kept
+        wtap = jnp.asarray(rng.normal(size=(3, 3 * c4, c4)), jnp.float32)
 
         def probe(xf, x1f, x2f):
-            mm = lambda a, wt: jax.lax.dot_general(
-                wt, a, dimension_numbers=(((1,), (0,)), ((), ())),
+            mm = lambda a, wt: jnp.einsum(
+                "bcn,cd->bdn", a, wt,
                 preferred_element_type=jnp.float32)
-            xm = xf + (mm(x1f, pk[:ch].T) + mm(x2f, pk[ch:].T))
-            h1 = mm(xm, fp["w1"].T)
-            h2 = mm(h1, fp["w2"].T)
-            acc = (mm(h2, wtap[:, :c4]) + mm(h2, wtap[:, c4:2 * c4])
-                   + mm(h2, wtap[:, 2 * c4:]))
-            return xm + mm(acc, fp["w3"].T)
+            xm = xf + (mm(x1f, pk[:ch]) + mm(x2f, pk[ch:]))
+            h1 = mm(xm, fp["w1"])
+            h2 = mm(h1, fp["w2"])
+            stacked = jnp.concatenate([h2, h2, h2], axis=1)  # [b,3c4,n]
+            acc = mm(stacked, wtap[0])
+            for r in (1, 2):
+                acc = acc + mm(stacked, wtap[r])
+            return xm + mm(acc, fp["w3"])
 
         n = h * w
-        t_probe = timed(probe, x.reshape(b * c, n).reshape(b, c, n),
+        t_probe = timed(probe, x.reshape(b, c, n),
                         x1.reshape(b, ch, n), x2.reshape(b, ch, n))
         print(f"[{b},{c},{h},{w}] c4={c4}: fused {t_fused:7.2f} ms  "
               f"xla {t_xla:7.2f} ms  matmul-probe {t_probe:7.2f} ms")

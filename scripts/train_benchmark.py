@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--sensor", default="WV3",
+                    help="Wald degradation recipe for the synthetic "
+                         "data: a SENSOR_GNYQ name (default WV3 — the "
+                         "per-band MTF branch the real WV-3 pairs were "
+                         "built with) or 'none' for the default "
+                         "Gaussian branch")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mixed", action="store_true", help="bf16 compute train step")
     ap.add_argument("--out-dir", default="benchmarks")
@@ -58,10 +64,12 @@ def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     logger = logging.getLogger("train_benchmark")
 
-    data_root = os.path.join("/tmp", f"lgteun_synth_b{args.bands}")
+    sensor = None if args.sensor.lower() == "none" else args.sensor
+    data_root = os.path.join(
+        "/tmp", f"lgteun_synth_b{args.bands}_{sensor or 'gauss'}")
     if not os.path.isdir(data_root):
         make_synthetic_dataset(data_root, n_train=64, n_test=8,
-                               bands=args.bands, size=128)
+                               bands=args.bands, size=128, sensor=sensor)
     train_ds = PSDataset(image_dirs=[os.path.join(data_root, "train")],
                          bit_depth=11)
     test_ds = PSDataset(image_dirs=[os.path.join(data_root, "test")],

@@ -407,3 +407,27 @@ def test_selective_mixed_precision_unlgformer(tmp_path):
     assert moved > 1e-6
     for leaf in jax.tree.leaves(runner.params):
         assert np.asarray(leaf).dtype == np.float32
+
+
+@pytest.mark.slow
+def test_wv3_sensor_mtf_end_to_end(tmp_path):
+    """e2e rehearsal on WV-3 8-band data built with the PER-SENSOR MTF
+    Wald branch — the recipe the reference's real WV-3 pairs were built
+    with (reference model_based_utils.py:176-181,199-230). Full product
+    loop: sensor-degraded TIFFs -> PSDataset -> train -> batched eval.
+    """
+    dirs = make_synthetic_dataset(str(tmp_path / "d"), n_train=4,
+                                  n_test=2, bands=8, size=64,
+                                  sensor="WV3")
+    train_ds = PSDataset([dirs["train"]], bit_depth=11)
+    test_ds = PSDataset([dirs["test"]], bit_depth=11)
+    assert train_ds[0]["input_lr"].shape == (16, 16, 8)
+    cfg = _cfg("UnlgFormer", tmp_path, max_iter=4)
+    cfg.ms_chans = 8
+    method = build_model(cfg.model_type, cfg)
+    runner = Runner(cfg, method, train_ds, None, test_ds,
+                    logger=logging.getLogger("test"))
+    runner.init().set_optim()
+    runner.train()
+    res = runner.test(iter_id=cfg.max_iter, ref=True)
+    assert "psnr" in res and np.isfinite(res["psnr"][0])
