@@ -45,12 +45,13 @@ class UnlgFormer(FlaxMethod):
     def apply(self, params, batch, *, train=False, rng=None):
         import os
 
-        # LGTEUN_EVAL_DTYPE=bf16 takes precedence over the (f32-only)
-        # Pallas fast path so the framework-wide autocast flag always
-        # takes effect (round-2 advisory).
+        # LGTEUN_EVAL_DTYPE=bf16 is handled INSIDE the fast path as
+        # selective bf16 STORAGE (trunk activations bf16, every
+        # kernel's internal math f32 — `lgteun_fast._storage_dtype`),
+        # not the blanket flax autocast (which round-2 measured at a
+        # ~2 dB PSNR loss; still reachable via LGTEUN_FAST=0).
         if (not train and jax.default_backend() == "tpu"
-                and os.environ.get("LGTEUN_FAST", "1") == "1"
-                and self._eval_dtype() is None):
+                and os.environ.get("LGTEUN_FAST", "1") == "1"):
             from lgteun_tpu.models.lgteun_fast import lgteun_fast_forward
 
             return lgteun_fast_forward(params["core_module"],

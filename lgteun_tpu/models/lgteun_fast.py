@@ -29,6 +29,13 @@ restores the flax module path); training and other backends always use
 the module. f32-parity with the module is tested in
 tests/test_lgteun.py::test_fast_forward_matches_module.
 
+LGTEUN_EVAL_DTYPE=bf16 switches the trunk to selective bf16 STORAGE
+(see `_storage_dtype`): inter-kernel activations are bf16 (half the
+kernel DMA), every kernel upcasts on load and runs its math — LN
+statistics, softmax, the spectral chain, GELU — in f32, and the
+unfolding data steps + final residual stay f32. Drift bound tested in
+tests/test_lgteun.py::test_fast_forward_bf16_storage_drift_bounded.
+
 Reference provenance is unchanged: models/unlg_former.py:21-67,
 models/common/LGT.py (see models/lgteun.py for the unfolding quirk).
 """
@@ -48,19 +55,50 @@ from lgteun_tpu.ops.resize import sample_scale, sample_scale_cm
 __all__ = ["lgteun_fast_forward"]
 
 
-def _pointconv_cm(x, p):
-    """PointConv param subtree (Conv_0/Conv_0) on [B, C, H, W]."""
+def _storage_dtype():
+    """LGTEUN_EVAL_DTYPE=bf16 -> bfloat16 ACTIVATION STORAGE for the
+    TPU inference trunk: tensors between the fused kernels are held in
+    bf16 (halving their HBM DMA) while every kernel upcasts on load and
+    computes in f32 (LN statistics, softmax, the spectral chain, GELU —
+    the selective recipe, mirroring the training side's
+    `handles_mixed`). The unfolding data steps (D/DT/R/RT, eta) stay
+    f32. Default None = full f32 storage (reference numerics)."""
+    import os
+
+    return (jnp.bfloat16
+            if os.environ.get("LGTEUN_EVAL_DTYPE") == "bf16" else None)
+
+
+def _pointconv_cm(x, p, sdtype=None):
+    """PointConv param subtree (Conv_0/Conv_0) on [B, C, H, W]. Under
+    bf16 storage the einsum takes bf16 operands with f32 accumulation,
+    adds the bias in f32, and rounds once to storage."""
     k = p["Conv_0"]["Conv_0"]["kernel"][0, 0]  # [Cin, Cout]
     b = p["Conv_0"]["Conv_0"]["bias"]
-    return (jnp.einsum("bchw,cd->bdhw", x, k)
-            + b[None, :, None, None])
+    if sdtype is None:
+        return (jnp.einsum("bchw,cd->bdhw", x, k)
+                + b[None, :, None, None])
+    if jax.default_backend() == "tpu":
+        y = jnp.einsum("bchw,cd->bdhw", x.astype(sdtype), k.astype(sdtype),
+                       preferred_element_type=jnp.float32)
+    else:
+        # CPU's dot thunk can't run bf16xbf16=f32; mimic the TPU
+        # semantics (bf16-rounded operands, f32 accumulation) exactly
+        y = jnp.einsum("bchw,cd->bdhw",
+                       x.astype(sdtype).astype(jnp.float32),
+                       k.astype(sdtype).astype(jnp.float32))
+    return (y + b[None, :, None, None]).astype(sdtype)
 
 
 def _ln_cm(x, scale, bias, eps=1e-5):
-    mu = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.var(x, axis=1, keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + eps)
-    return y * scale[None, :, None, None] + bias[None, :, None, None]
+    """LN over channels; statistics and affine always in f32, output in
+    the input's storage dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.var(xf, axis=1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * scale[None, :, None, None] + bias[None, :, None, None]
+    return y.astype(x.dtype)
 
 
 def _windows_cm(x, win):
@@ -182,22 +220,23 @@ def _local_mixer_cm(x, p, win, heads):
     bqkv = p["to_qkv_bias"]
     if (jax.default_backend() == "tpu" and (w // win) % 2 == 0
             and not _parity_grade() and fuse_level() >= 1):
-        xp = _window_pairs_mm(x, win)  # [N/2, C, 2S] — full 128 lanes
+        xp = _window_pairs_mm(x, win).astype(x.dtype)  # [N/2, C, 2S]
         out = fused_window_attention_v3_packed(xp, wqkv, bqkv,
                                                p["pos_emb"], heads=heads,
                                                scale=scale,
                                                tanh_exp=fuse_level() >= 2)
-        return _unwindow_pairs_mm(out, win, (h, w), b)
+        return _unwindow_pairs_mm(out, win, (h, w), b).astype(x.dtype)
     xt = _windows_cm(x, win)  # [N, C, S]
     out = window_attention_xla(xt.transpose(0, 2, 1), wqkv, bqkv,
                                p["pos_emb"], heads,
                                scale).transpose(0, 2, 1)
-    return _unwindows_cm(out, win, (h, w), b)
+    return _unwindows_cm(out, win, (h, w), b).astype(x.dtype)
 
 
 def _global_mixer_cm(x, p):
     """FFT amp/phase mixer, channel-major (exact forward values incl.
-    the zero-bin convention and the reference's epsilons)."""
+    the zero-bin convention and the reference's epsilons). The spectral
+    math is always f32; bf16-storage inputs round only at the output."""
     if (jax.default_backend() == "tpu" and not _parity_grade()
             and fuse_level() >= 2):
         from lgteun_tpu.ops.spectral_kernel import fused_global_mixer_cm
@@ -205,6 +244,8 @@ def _global_mixer_cm(x, p):
         return fused_global_mixer_cm(
             x, p["amp_scale"][0, 0, 0], p["amp_bias"],
             p["pha_scale"][0, 0, 0], p["pha_bias"])
+    sdt = x.dtype
+    x = x.astype(jnp.float32)
     h, w = x.shape[-2], x.shape[-1]
     re, im = rfft2_pair_cm(x, norm="backward")
     zero = (re == 0.0) & (im == 0.0)
@@ -217,7 +258,8 @@ def _global_mixer_cm(x, p):
     pha = pha * col(p["pha_scale"][0, 0, 0]) + col(p["pha_bias"])
     real = amp * jnp.cos(pha) + 1e-8 + 1e-8
     imag = amp * jnp.sin(pha) + 1e-8
-    return jnp.abs(irfft2_pair_cm(real, imag, s=(h, w), norm="backward"))
+    out = jnp.abs(irfft2_pair_cm(real, imag, s=(h, w), norm="backward"))
+    return out.astype(sdt)
 
 
 def _ffn_flat(p):
@@ -277,8 +319,12 @@ def _lgb_cm(x, p, num_blocks, win, heads):
     return x
 
 
-def _lgt_cm(z, p, win, heads, num_block=(2, 1)):
-    """LGT prior on NHWC input/output with a channel-major trunk."""
+def _lgt_cm(z, p, win, heads, num_block=(2, 1), sdtype=None):
+    """LGT prior on NHWC input/output with a channel-major trunk.
+
+    `sdtype` (see `_storage_dtype`): bf16 activation storage for the
+    whole trunk; patch embed, the final tail conv and the residual add
+    stay f32."""
     # patch embed (patch_size=1): depthwise 1x1 = per-channel affine
     kdw = p["patch_dw"]["Conv_0"]["kernel"][0, 0, 0]  # [C]
     bdw = p["patch_dw"]["Conv_0"]["bias"]
@@ -286,26 +332,28 @@ def _lgt_cm(z, p, win, heads, num_block=(2, 1)):
     fea = x * kdw[None, :, None, None] + bdw[None, :, None, None]
     fea = _pointconv_cm(fea, p["patch_pw"])
     fea = _ln_cm(fea, p["patch_norm_ln"]["scale"], p["patch_norm_ln"]["bias"])
+    if sdtype is not None:
+        fea = fea.astype(sdtype)
 
     scales = len(num_block)
     skips = []
     for i in range(scales - 1):
         fea = _lgb_cm(fea, p[f"enc_lgb_{i}"], num_block[i], win, heads)
         skips.append(fea)
-        fea = sample_scale_cm(fea, 0.5)
-        fea = _pointconv_cm(fea, p[f"enc_down_{i}"])
+        fea = sample_scale_cm(fea, 0.5).astype(fea.dtype)
+        fea = _pointconv_cm(fea, p[f"enc_down_{i}"], sdtype)
 
     fea = _lgb_cm(fea, p["bottleneck"], num_block[-1], win, heads)
 
     for i in range(scales - 1):
-        fea = sample_scale_cm(fea, 2)
-        fea = _pointconv_cm(fea, p[f"dec_up_{i}"])
+        fea = sample_scale_cm(fea, 2).astype(fea.dtype)
+        fea = _pointconv_cm(fea, p[f"dec_up_{i}"], sdtype)
         fea = jnp.concatenate([fea, skips[scales - 2 - i]], axis=1)
-        fea = _pointconv_cm(fea, p[f"dec_fuse_{i}"])
+        fea = _pointconv_cm(fea, p[f"dec_fuse_{i}"], sdtype)
         fea = _lgb_cm(fea, p[f"dec_lgb_{i}"], num_block[scales - 2 - i],
                       win, heads)
 
-    out = _pointconv_cm(fea, p["tail"])
+    out = _pointconv_cm(fea.astype(jnp.float32), p["tail"])
     return jnp.moveaxis(out, 1, -1) + z
 
 
@@ -339,6 +387,7 @@ def lgteun_fast_forward(params, ms, pan, *, stage=2, window_size=8,
         return _depconv_nhwc(sample_scale(x, 2), params["DT"]["dw1"])
 
     out = z
+    sdtype = _storage_dtype()
     for i in range(stage):
         eta = params[f"eta_{i}"]
         ms_term = up(down(z) - ms)
@@ -347,5 +396,5 @@ def lgteun_fast_forward(params, ms, pan, *, stage=2, window_size=8,
         z = z - eta * (ms_term + pan_term)
         if i == stage - 1:  # earlier priors are dead code (see lgteun.py)
             out = _lgt_cm(z, params[f"prior_{i}"], window_size, num_heads,
-                          num_block)
+                          num_block, sdtype=sdtype)
     return out

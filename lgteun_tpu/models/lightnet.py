@@ -148,12 +148,16 @@ class lightnet(FlaxMethod):
     """Registered under the reference's lowercase name
     (reference models/lightnet.py:138-139).
 
-    Inference on TPU uses the NCHW fast path in f32 (reference
-    numerics) by default; bf16 is opt-in via LGTEUN_LIGHTNET_DTYPE=bf16
-    or the framework-wide LGTEUN_EVAL_DTYPE=bf16 (~2x faster, eval
-    metrics deviate at the ~0.1 dB level). LGTEUN_LIGHTNET_FAST=0
-    restores the flax NHWC path. Training and other backends use the
-    flax module."""
+    Inference on TPU defaults to the whole-network fused Pallas kernel
+    in f32 (`ops/lightnet_kernel.py`): the entire 10-SpanConv stack in
+    one VMEM pass per image, reference numerics (the only rounding is
+    the MXU dot's bf16-operand rounding — the same class XLA's
+    default-precision matmuls apply on every path). Fallbacks:
+    bf16 opt-in (LGTEUN_LIGHTNET_DTYPE=bf16 / LGTEUN_EVAL_DTYPE=bf16)
+    or non-lane-aligned widths use the NCHW tap path;
+    LGTEUN_LIGHTNET_FAST=0 restores the flax NHWC path;
+    LGTEUN_FUSE_LEVEL<1 disables the Pallas kernel (bench ladder).
+    Training and other backends use the flax module."""
 
     def make_module(self):
         return LightNetModule(ms_chans=self.cfg.ms_chans)
@@ -161,13 +165,23 @@ class lightnet(FlaxMethod):
     def apply(self, params, batch, *, train=False, rng=None):
         import os
 
+        from lgteun_tpu.ops import fuse_level
+
         if (not train and jax.default_backend() == "tpu"
                 and os.environ.get("LGTEUN_LIGHTNET_FAST", "1") == "1"):
             want_bf16 = "bf16" in (os.environ.get("LGTEUN_LIGHTNET_DTYPE")
                                    or os.environ.get("LGTEUN_EVAL_DTYPE")
                                    or "f32")
+            lr, pan = batch["input_lr"], batch["input_pan"]
+            if (not want_bf16 and fuse_level() >= 1
+                    and pan.shape[-2] % 128 == 0 and lr.shape[-1] <= 8):
+                from lgteun_tpu.ops.lightnet_kernel import (
+                    lightnet_fused_forward,
+                )
+
+                return lightnet_fused_forward(params["core_module"],
+                                              lr, pan)
             dtype = jnp.bfloat16 if want_bf16 else jnp.float32
-            return lightnet_fast_forward(params["core_module"],
-                                         batch["input_lr"],
-                                         batch["input_pan"], dtype)
+            return lightnet_fast_forward(params["core_module"], lr, pan,
+                                         dtype)
         return super().apply(params, batch, train=train, rng=rng)

@@ -230,8 +230,12 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
     [96,32,128,128] from this restructure alone). Here halo rows are
     plain VMEM slices of the resident image and the image edges are the
     only places needing a zero-row (torch zero padding semantics).
+
+    bf16 in/out refs are accepted (the selective-bf16 trunk's storage
+    dtype): loads upcast to f32 so ALL internal math stays f32; only
+    the HBM<->VMEM DMAs shrink.
     """
-    xi = x_ref[0]  # [c, h*w]
+    xi = x_ref[0].astype(jnp.float32)  # [c, h*w]
     nt = h_img // th
     n_all = (th + 2) * w
 
@@ -289,10 +293,11 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
     Same whole-image-per-program structure as `_kernel`; the 1x1 proj
     and the mixer residual are recomputed per tile INCLUDING the two
     halo rows (proj is pointwise, so halo xm rows are exact), which
-    keeps only x/x1/x2 resident instead of a fourth xm image."""
-    xi = x_ref[0]    # [c, h*w]
-    x1i = x1_ref[0]  # [c//2, h*w]
-    x2i = x2_ref[0]
+    keeps only x/x1/x2 resident instead of a fourth xm image. bf16
+    in/out refs upcast on load; internal math is always f32."""
+    xi = x_ref[0].astype(jnp.float32)    # [c, h*w]
+    x1i = x1_ref[0].astype(jnp.float32)  # [c//2, h*w]
+    x2i = x2_ref[0].astype(jnp.float32)
     nt = h_img // th
     n_all = (th + 2) * w
     ch = c // 2
@@ -359,8 +364,8 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
     with row/column edge masks — rolls take any shift, and no slice or
     concat ever crosses a lane boundary. One pass, no row tiling
     (VMEM: the bottleneck image is 1/4 the pixels of the full-res
-    tiles)."""
-    xi = x_ref[0]
+    tiles). bf16 in/out refs upcast on load; internal math always f32."""
+    xi = x_ref[0].astype(jnp.float32)
 
     def mm(wt, t, bias=None):
         out = jax.lax.dot_general(
@@ -368,7 +373,8 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
             preferred_element_type=jnp.float32)
         return out if bias is None else out + bias[:]
 
-    xm = xi + mm(wp1t[:], x1_ref[0]) + mm(wp2t[:], x2_ref[0]) + bp[:]
+    xm = (xi + mm(wp1t[:], x1_ref[0].astype(jnp.float32))
+          + mm(wp2t[:], x2_ref[0].astype(jnp.float32)) + bp[:])
 
     mu = jnp.mean(xm, axis=0, keepdims=True)
     var = jnp.mean((xm - mu) ** 2, axis=0, keepdims=True)

@@ -210,7 +210,8 @@ def mixer_body(xi, asc, abi, psc, pbi, mats, *, c, h, w,
 def _kernel(x_ref, asc_ref, abi_ref, psc_ref, pbi_ref, wc, ws, hc, hs,
             hic, his, wic, wis, out_ref, *, c, h, w, trig):
     col = lambda p: p[...].reshape(c, 1, 1)
-    out = mixer_body(x_ref[0], col(asc_ref), col(abi_ref), col(psc_ref),
+    out = mixer_body(x_ref[0].astype(jnp.float32), col(asc_ref),
+                     col(abi_ref), col(psc_ref),
                      col(pbi_ref),
                      tuple(m[:] for m in (wc, ws, hc, hs, hic, his, wic,
                                           wis)), c=c, h=h, w=w, trig=trig)
@@ -260,8 +261,9 @@ def _head_kernel(x_ref, lng_ref, lnb_ref, asc_ref, abi_ref, psc_ref,
                  x2_ref, *, c, h, w, eps, trig):
     """LGB mixer head: y = LN(x); y1 = y[:C/2] (local-attention input);
     x2 = global_mixer(y[C/2:]). One HBM read of x, no LN materialise,
-    no separate mixer-half read."""
-    xi = x_ref[0]  # [c, h, w]
+    no separate mixer-half read. bf16 in/out refs upcast on load;
+    internal math (LN stats, the whole spectral chain) is always f32."""
+    xi = x_ref[0].astype(jnp.float32)  # [c, h, w]
     mu = jnp.mean(xi, axis=0, keepdims=True)
     var = jnp.mean((xi - mu) ** 2, axis=0, keepdims=True)
     y = (xi - mu) * jax.lax.rsqrt(var + eps)

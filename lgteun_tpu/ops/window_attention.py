@@ -229,12 +229,13 @@ def _kernel_v3(x_ref, wqkv_ref, bqkv_ref, pos2_ref, out_ref, *, heads,
     (exp(-1e9 - rowmax) == 0).
 
     x_ref: [wpb, C, 2S]; wqkv_ref: [wpb, 3C, C]; bqkv_ref: [3C, 1];
-    pos2_ref: [heads, 2S, 2S]; out_ref: [wpb, C, 2S].
+    pos2_ref: [heads, 2S, 2S]; out_ref: [wpb, C, 2S]. bf16 in/out refs
+    upcast on load; internal math (softmax especially) is always f32.
     """
     c = x_ref.shape[1]
     hd = c // heads
     qkv = jax.lax.dot_general(
-        wqkv_ref[:], x_ref[:],
+        wqkv_ref[:], x_ref[:].astype(jnp.float32),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # [wpb, 3C, 2S]
     qkv = qkv + bqkv_ref[:][None]

@@ -40,7 +40,8 @@ def timed(fn, *args, iters=16):
         def body(_, carry):
             a, acc = carry
             out = fn(a, *args[1:])
-            return a + 1e-12 * jnp.mean(out), acc + jnp.mean(out)
+            m = jnp.mean(out.astype(jnp.float32))
+            return (a + (1e-12 * m).astype(a.dtype)), acc + m
 
         _, acc = jax.lax.fori_loop(0, n, body, (a0, jnp.float32(0)))
         return acc
@@ -59,15 +60,20 @@ def timed(fn, *args, iters=16):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--dtype", default="f32", choices=("f32", "bf16"),
+                    help="kernel in/out storage dtype (bf16 halves the "
+                         "kernel's HBM DMA; internal math unchanged "
+                         "class — probes whether the tail is DMA-bound)")
     args = ap.parse_args()
     b = args.batch
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
 
     for (h, w, c) in ((64, 64, 64), (128, 128, 32)):
         c4, ch = 4 * c, c // 2
-        x = jnp.asarray(rng.normal(size=(b, c, h, w)), jnp.float32)
-        x1 = jnp.asarray(rng.normal(size=(b, ch, h, w)), jnp.float32)
-        x2 = jnp.asarray(rng.normal(size=(b, ch, h, w)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(b, c, h, w)), dt)
+        x1 = jnp.asarray(rng.normal(size=(b, ch, h, w)), dt)
+        x2 = jnp.asarray(rng.normal(size=(b, ch, h, w)), dt)
         pk = jnp.asarray(rng.normal(size=(c, c)), jnp.float32) * 0.1
         pb = jnp.zeros((c,), jnp.float32)
         fp = {

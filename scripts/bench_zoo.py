@@ -39,8 +39,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ms-chans", type=int, default=4)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated registry names to time "
+                         "(default: every method)")
+    ap.add_argument("--json", default=None,
+                    help="merge per-method results into this JSON "
+                         "artifact (e.g. ZOO_r04.json)")
     args = ap.parse_args()
     b, c = args.batch, args.ms_chans
+    only = set(args.only.split(",")) if args.only else None
 
     import lgteun_tpu.models
     from lgteun_tpu.config import Config, LossCfg
@@ -52,9 +59,20 @@ def main():
         "input_pan": jnp.asarray(rng.uniform(0, 1, (b, 128, 128, 1)).astype(np.float32)),
     }
 
+    results = {}
+    if args.json and os.path.exists(args.json):
+        import json
+
+        with open(args.json) as f:
+            prior = json.load(f)
+        if (prior.get("batch") == b and prior.get("ms_chans") == c):
+            results = prior.get("methods", {})
+
     print(f"batch {b}, {c}-band, 32->128 fusion; one chip")
     print(f"{'method':12s} {'ms/img':>8s} {'MP/s':>8s} {'vs 3090':>8s}")
     for name in MODELS.keys():
+        if only is not None and name not in only:
+            continue
         try:
             cfg = Config(model_type=name, ms_chans=c,
                          loss_cfg={"rec_loss": LossCfg()},
@@ -96,6 +114,19 @@ def main():
             speedup = f"{ref / dt:7.1f}x" if ref else "      —"
             print(f"{name:12s} {dt * 1000:8.3f} {mps:8.2f} {speedup}",
                   flush=True)
+            results[name] = {
+                "ms_per_img": round(dt * 1000, 4),
+                "mp_per_s": round(mps, 2),
+                "ref_s_per_img": ref,
+                "vs_3090": round(ref / dt, 1) if ref else None,
+            }
+            if args.json:
+                import json
+
+                with open(args.json, "w") as f:
+                    json.dump({"batch": b, "ms_chans": c,
+                               "backend": jax.default_backend(),
+                               "methods": results}, f, indent=1)
         except Exception as e:  # noqa: BLE001
             print(f"{name:12s} FAIL {str(e)[:80]}", flush=True)
 

@@ -123,6 +123,33 @@ def _cases(rng):
                       lambda trig=trig: fused_ln_mixer_head_cm(
                           xh, lng, lnb, asc, abi, psc, pbi, trig=trig),
                       want_head))
+
+    # --- bf16-storage variants of the trunk kernels ------------------------
+    # (LGTEUN_EVAL_DTYPE=bf16 feeds the kernels bf16 refs; loads upcast,
+    # internal math stays f32 — the parity bound is bf16 I/O rounding)
+    xt16 = (xt.astype(jnp.bfloat16), x1t.astype(jnp.bfloat16),
+            x2t.astype(jnp.bfloat16))
+    cases.append(("block tail tiled bf16-io",
+                  lambda: fused_block_tail_cm(
+                      *xt16, pk, pb, ffn, tile_rows=8,
+                      taps="vpu").astype(jnp.float32), want_tail))
+    cases.append(("mixer head bf16-io",
+                  lambda: tuple(
+                      t.astype(jnp.float32) for t in fused_ln_mixer_head_cm(
+                          xh.astype(jnp.bfloat16), lng, lnb, asc, abi, psc,
+                          pbi, trig="poly")), want_head))
+
+    # --- whole-network LightNet kernel -------------------------------------
+    from lgteun_tpu.models.lightnet import LightNetModule
+    from lgteun_tpu.ops.lightnet_kernel import lightnet_fused_forward
+
+    lm = LightNetModule(ms_chans=4)
+    ms_in = f32(1, 32, 32, 4) * 0.2 + 0.5
+    pan_in = f32(1, 128, 128, 1) * 0.2 + 0.5
+    lparams = lm.init(jax.random.PRNGKey(0), ms_in, pan_in)["params"]
+    cases.append(("lightnet whole-net",
+                  lambda: lightnet_fused_forward(lparams, ms_in, pan_in),
+                  lambda: lm.apply({"params": lparams}, ms_in, pan_in)))
     return cases
 
 

@@ -114,3 +114,31 @@ def test_fast_forward_matches_module(rng):
         got = lgteun_fast_forward(params, ms, pan, stage=stage)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5)
+
+
+@pytest.mark.slow
+def test_fast_forward_bf16_storage_drift_bounded(rng, monkeypatch):
+    """LGTEUN_EVAL_DTYPE=bf16 = selective bf16 STORAGE on the fast
+    path (kernel-internal math stays f32). Output must stay f32 and
+    within a bf16-rounding-class envelope of the f32 path (measured
+    CPU: mean ~1.8e-3, max ~1.4e-2 on a fresh init with outputs
+    spanning ~[-1.2, 2.2])."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.models.lgteun import LGTEUN
+    from lgteun_tpu.models.lgteun_fast import lgteun_fast_forward
+
+    model = LGTEUN(ms_chans=4, stage=2)
+    ms = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 4)).astype(np.float32))
+    pan = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), ms, pan)["params"]
+    monkeypatch.delenv("LGTEUN_EVAL_DTYPE", raising=False)
+    f32 = np.asarray(lgteun_fast_forward(params, ms, pan, stage=2))
+    monkeypatch.setenv("LGTEUN_EVAL_DTYPE", "bf16")
+    b16 = lgteun_fast_forward(params, ms, pan, stage=2)
+    assert b16.dtype == jnp.float32  # output precision is f32
+    d = np.abs(np.asarray(b16) - f32)
+    scale = np.abs(f32).max()
+    assert d.mean() <= 5e-3 * scale, (d.mean(), scale)
+    assert d.max() <= 5e-2 * scale, (d.max(), scale)
