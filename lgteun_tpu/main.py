@@ -32,12 +32,29 @@ def set_random_seed(seed: int):
     np.random.seed(seed)
 
 
-def _apply_matmul_precision():
+def _apply_matmul_precision(cfg: Config | None = None, logger=None):
     """LGTEUN_MATMUL_PRECISION={default,high,highest}: TPU f32 matmuls
     default to one bf16 pass (~1e-2 output deviation vs CPU f32 through
     LGTEUN's depth); parity-critical eval runs can force full-precision
-    passes at a throughput cost."""
+    passes at a throughput cost.
+
+    Metric-reporting runs (``only_test`` — the reference's shipped eval
+    flow, reference main.py:107-143) default to ``highest``: measured on
+    a WV-3 synthetic split it matches the float64 oracle to 0.002 dB
+    PSNR while the fused throughput default sits 0.048 dB below it
+    (benchmarks/eval_numerics.json). Set LGTEUN_MATMUL_PRECISION
+    explicitly (e.g. ``default``) to score the throughput engine instead.
+    """
     prec = os.environ.get("LGTEUN_MATMUL_PRECISION")
+    if not prec and cfg is not None and cfg.only_test:
+        # Env (not just jax.config) so trace-time readers in the fast
+        # path (models/lgteun_fast.py, ops/fft.py) see it too.
+        prec = os.environ["LGTEUN_MATMUL_PRECISION"] = "highest"
+        if logger is not None:
+            logger.info(
+                "only_test: defaulting LGTEUN_MATMUL_PRECISION=highest "
+                "(parity-grade numerics for metric reporting; "
+                "benchmarks/eval_numerics.json)")
     if prec:
         import jax
 
@@ -79,7 +96,7 @@ def build_runner(cfg: Config, logger=None) -> Runner:
 
 def main(cfg: Config, logger: logging.Logger) -> Runner:
     set_random_seed(cfg.seed)
-    _apply_matmul_precision()
+    _apply_matmul_precision(cfg, logger)
     runner = build_runner(cfg, logger)
     runner.init()
     if cfg.checkpoint:
