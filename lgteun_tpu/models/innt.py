@@ -47,31 +47,58 @@ class TransformerFusion(nn.Module):
     def __call__(self, lrsr, ref):
         import os
 
-        from lgteun_tpu.ops.patch_match_kernel import (
-            fused_patch_match,
-            patch_match_xla,
-        )
+        from lgteun_tpu.models.lgteun_fast import _parity_grade
 
         n, h, w, c = lrsr.shape
-        lr_unf = extract_patches(lrsr, 3, 1, 1)  # [N, L, C*9]
-        ref_unf = extract_patches(ref, 3, 1, 1)  # [N, L, C*9]
+        # LGTEUN_MATMUL_PRECISION=highest (the only_test default) keeps
+        # the whole chain on HIGHEST-precision XLA ops: inside the
+        # Pallas kernels the MXU rounds the R dot's operands to bf16,
+        # which can flip near-tie argmax picks vs the exact similarity.
+        whole = (os.environ.get("LGTEUN_FUSED_TM", "1") == "1"
+                 and not _parity_grade()
+                 and jax.default_backend() == "tpu" and h == w)
+        if whole:
+            # whole-chain kernel: unfold + norm + search + transfer +
+            # fold in one VMEM pass per patch-image — the XLA chain
+            # around the search alone moved ~5x [N,576,36] unfold
+            # tensors through HBM (ops/texture_match_kernel.py)
+            from lgteun_tpu.ops.texture_match_kernel import (
+                fused_texture_match,
+            )
 
-        ref_n = ref_unf / (jnp.linalg.norm(ref_unf, axis=2, keepdims=True) + 1e-12)
-        lr_n = lr_unf / (jnp.linalg.norm(lr_unf, axis=2, keepdims=True) + 1e-12)
-
-        fused = (os.environ.get("LGTEUN_FUSED_PM", "1") == "1"
-                 and jax.default_backend() == "tpu")
-        if fused:
-            # fused kernel never materialises the [N, L, L] similarity
-            t_km, r_star = fused_patch_match(
-                lr_n, ref_n, ref_unf.transpose(0, 2, 1))
-            t_unf = t_km.transpose(0, 2, 1)
+            lr_cm = jnp.moveaxis(lrsr, -1, 1).reshape(n, c, h * w)
+            ref_cm = jnp.moveaxis(ref, -1, 1).reshape(n, c, h * w)
+            t_cm, s_flat = fused_texture_match(lr_cm, ref_cm)
+            t = jnp.moveaxis(t_cm.reshape(n, c, h, w), 1, -1)
+            s = s_flat.reshape(n, h, w, 1)
         else:
-            t_km, r_star = patch_match_xla(
-                lr_n, ref_n, ref_unf.transpose(0, 2, 1))
-            t_unf = t_km.transpose(0, 2, 1)
-        t = fold_patches(t_unf, (h, w), c, 3, 1, 1) / 9.0
-        s = r_star.reshape(n, h, w, 1)
+            from lgteun_tpu.ops.patch_match_kernel import (
+                fused_patch_match,
+                patch_match_xla,
+            )
+
+            lr_unf = extract_patches(lrsr, 3, 1, 1)  # [N, L, C*9]
+            ref_unf = extract_patches(ref, 3, 1, 1)  # [N, L, C*9]
+
+            ref_n = ref_unf / (jnp.linalg.norm(ref_unf, axis=2,
+                                               keepdims=True) + 1e-12)
+            lr_n = lr_unf / (jnp.linalg.norm(lr_unf, axis=2,
+                                             keepdims=True) + 1e-12)
+
+            fused = (os.environ.get("LGTEUN_FUSED_PM", "1") == "1"
+                     and not _parity_grade()
+                     and jax.default_backend() == "tpu")
+            if fused:
+                # fused kernel never materialises the [N, L, L] similarity
+                t_km, r_star = fused_patch_match(
+                    lr_n, ref_n, ref_unf.transpose(0, 2, 1))
+                t_unf = t_km.transpose(0, 2, 1)
+            else:
+                t_km, r_star = patch_match_xla(
+                    lr_n, ref_n, ref_unf.transpose(0, 2, 1))
+                t_unf = t_km.transpose(0, 2, 1)
+            t = fold_patches(t_unf, (h, w), c, 3, 1, 1) / 9.0
+            s = r_star.reshape(n, h, w, 1)
 
         y = Conv(self.features, (3, 3), name="trans0")(
             jnp.concatenate([t, lrsr], axis=-1))

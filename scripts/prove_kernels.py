@@ -150,6 +150,23 @@ def _cases(rng):
     cases.append(("lightnet whole-net",
                   lambda: lightnet_fused_forward(lparams, ms_in, pan_in),
                   lambda: lm.apply({"params": lparams}, ms_in, pan_in)))
+
+    # --- whole-chain texture match (INNT) -----------------------------------
+    from lgteun_tpu.ops.texture_match_kernel import (
+        fused_texture_match, texture_match_xla,
+    )
+
+    # Well-separated matches: lr = spatially-shifted ref + small noise,
+    # so each query's best ref sub-patch wins by a wide margin. Random
+    # iid data has top-2 correlation gaps ~1e-2 — below the MXU's bf16
+    # operand rounding on the R dot, flipping argmax picks on BOTH the
+    # fused and the XLA-on-chip paths (benign, documented in
+    # patch_match_kernel.py) and swamping the lowering check.
+    tm_ref = f32(8, 4, 576)
+    tm_lr = jnp.roll(tm_ref, 48, axis=2) + 0.01 * f32(8, 4, 576)
+    cases.append(("texture match whole-chain",
+                  lambda: fused_texture_match(tm_lr, tm_ref),
+                  lambda: texture_match_xla(tm_lr, tm_ref, 24)))
     return cases
 
 
