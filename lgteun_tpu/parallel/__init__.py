@@ -4,3 +4,4 @@ from lgteun_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from lgteun_tpu.parallel.scene import fuse_scene  # noqa: F401
