@@ -9,6 +9,17 @@ K=2-stage LGTEUN. Baseline: the reference measures 0.0133 s/img on a
 RTX 3090 (paper Table 4, measurement loop reference
 base_model.py:299-302), i.e. 16384 px / 0.0133 s = 1.232 MP/s.
 The >=10x target therefore sits at vs_baseline >= 10.
+
+The headline measures the documented THROUGHPUT serving mode:
+LGTEUN_EVAL_DTYPE=bf16 selective activation storage (kernel math f32 —
+see models/lgteun_fast.py). Measured v5e, batch 96: 30.0 MP/s (24.4x)
+vs 26.25 MP/s (21.3x) full-f32. Its metric-level cost is measured and
+shipped with the number ("psnr_delta_db": -0.103 dB vs highest-
+precision on the synthetic WV-3 study, benchmarks/eval_numerics.json);
+metric-REPORTING runs default to f32/HIGHEST per PARITY.md "Eval-mode
+numerics" — the bf16 mode is the serving engine, never the scorer.
+The retry ladder degrades bf16 -> f32 -> lower fuse levels, so the
+JSON "mode" field says what actually ran.
 """
 
 import json
@@ -140,12 +151,20 @@ def main():
 
     imgs_per_sec = batch / dt
     mps = imgs_per_sec * IMG_PIXELS / 1e6
-    print(json.dumps({
+    line = {
         "metric": "wv3_lgteun_fused_megapixels_per_sec_per_chip",
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / REF_MPS, 3),
-    }))
+    }
+    if os.environ.get("LGTEUN_EVAL_DTYPE") == "bf16":
+        # measured metric cost of the bf16-storage serving mode vs the
+        # highest-precision engine (benchmarks/eval_numerics.json)
+        line["mode"] = "bf16-storage"
+        line["psnr_delta_db"] = -0.103
+    else:
+        line["mode"] = "f32"
+    print(json.dumps(line))
 
 
 def _run_guarded():
@@ -157,22 +176,27 @@ def _run_guarded():
     a separate watchdog'd process. The last attempt's JSON line (if
     any) is relayed to stdout for the driver.
 
-    Attempts ladder down LGTEUN_FUSE_LEVEL (see `lgteun_tpu.ops
-    .fuse_level`): two tries with every fused kernel, then the
-    on-chip-proven kernel subset, then plain XLA — so a Mosaic
-    regression in one new kernel degrades the number instead of
-    zeroing the benchmark."""
+    Attempts ladder down the engine: bf16-storage throughput mode,
+    then full f32, then the on-chip-proven kernel subset, then plain
+    XLA (`LGTEUN_FUSE_LEVEL`) — so a Mosaic regression in one new
+    kernel degrades the number instead of zeroing the benchmark."""
     import subprocess
     import sys
 
-    # 550 s per attempt: cold-cache XLA compiles run minutes on a
-    # low-core host (observed 1-vCPU sessions: ~100 s for the flax
-    # init alone before it was disk-cached, ~2 min for the fused-path
-    # program); the shorter ladder keeps the worst case ~37 min.
-    per_attempt_s = 550
-    fuse_ladder = (2, 2, 1, 0)
-    for i, level in enumerate(fuse_ladder):
+    # Cold-cache XLA compiles run minutes on a low-core host (observed
+    # 1-vCPU sessions: ~100 s for the flax init alone before it was
+    # disk-cached) and the tunnel adds minutes of jitter (observed: a
+    # warm-cache rerun taking 9 min where the first run took 7) — so
+    # the first attempts get 750 s; the ladder's worst case is ~48 min.
+    budgets = (750, 750, 550, 550)
+    fuse_ladder = ((2, "bf16"), (2, None), (1, None), (0, None))
+    for i, (level, edt) in enumerate(fuse_ladder):
+        per_attempt_s = budgets[i]
         env = dict(os.environ, LGTEUN_FUSE_LEVEL=str(level))
+        if edt is not None:
+            env["LGTEUN_EVAL_DTYPE"] = edt
+        else:
+            env.pop("LGTEUN_EVAL_DTYPE", None)
         try:
             res = subprocess.run(
                 [sys.executable, "-c", "from bench import main; main()"],
@@ -180,9 +204,10 @@ def _run_guarded():
                 cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
             for line in res.stdout.splitlines():
                 if line.startswith("{"):
-                    if level < 2:
-                        sys.stderr.write(f"bench: degraded to fuse level "
-                                         f"{level}\n")
+                    if i > 0:
+                        sys.stderr.write(
+                            f"bench: degraded to fuse level {level}, "
+                            f"mode {edt or 'f32'}\n")
                     print(line)
                     return
             sys.stderr.write(res.stderr[-2000:] + "\n")
