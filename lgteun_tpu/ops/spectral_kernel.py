@@ -161,8 +161,8 @@ def _mixer_mats(h: int, w: int):
 def mixer_body(xi, asc, abi, psc, pbi, mats, *, c, h, w,
                trig: str = "native"):
     """Value-level fused mixer chain on one image [c, h, w] (shared by
-    this kernel and the LGB megakernel in ops/lgb_mixer_kernel.py).
-    asc/abi/psc/pbi: [c, 1, 1]; mats: the 8 `_mixer_mats` arrays."""
+    `_kernel` and `_head_kernel`). asc/abi/psc/pbi: [c, 1, 1]; mats:
+    the 8 `_mixer_mats` arrays."""
     wc, ws, hc, hs, hic, his, wic, wis = mats
 
     def rmul(t, m):
