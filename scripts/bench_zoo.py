@@ -26,12 +26,19 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-# paper Table 4 Time(s/img), GF-2 (C=4) column
-REF_S_PER_IMG = {
+# paper Table 4 Time(s/img): GF-2 column for C=4, WV-3 column for C=8
+# (BASELINE.md Table C; reference measurement loop base_model.py:299-302)
+REF_S_PER_IMG_GF2 = {
     "GSA": 0.0216, "SFIM": 0.0301, "Wavelet": 0.0271,
     "PanFormer": 0.0257, "INNT": 0.0431, "lightnet": 0.0017,
     "SFIIN": 0.0528, "MutInf": 0.1141, "MDCUN": 0.1017,
     "UnlgFormer": 0.0129,
+}
+REF_S_PER_IMG_WV3 = {
+    "GSA": 0.0482, "SFIM": 0.0591, "Wavelet": 0.0562,
+    "PanFormer": 0.0160, "INNT": 0.0426, "lightnet": 0.0019,
+    "SFIIN": 0.0529, "MutInf": 0.1083, "MDCUN": 0.1747,
+    "UnlgFormer": 0.0133,
 }
 
 
@@ -48,6 +55,7 @@ def main():
     args = ap.parse_args()
     b, c = args.batch, args.ms_chans
     only = set(args.only.split(",")) if args.only else None
+    ref_col = REF_S_PER_IMG_WV3 if c == 8 else REF_S_PER_IMG_GF2
 
     import lgteun_tpu.models
     from lgteun_tpu.config import Config, LossCfg
@@ -110,7 +118,7 @@ def main():
                 t2 = min(run(208) for _ in range(2))
                 dt = (t2 - t1) / 200 / b
             mps = 16384 / dt / 1e6
-            ref = REF_S_PER_IMG.get(name)
+            ref = ref_col.get(name)
             speedup = f"{ref / dt:7.1f}x" if ref else "      —"
             print(f"{name:12s} {dt * 1000:8.3f} {mps:8.2f} {speedup}",
                   flush=True)

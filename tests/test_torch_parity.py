@@ -298,3 +298,82 @@ def test_convert_torch_ckpt_script_roundtrip(ref_models, rng, tmp_path):
                        {"input_lr": jnp.asarray(ms_x),
                         "input_pan": jnp.asarray(pan_x)})
     _assert_close(got, want, 1e-4, "converted lightnet ckpt")
+
+
+def _torch_vgg_features12():
+    """The reference's `features[0:12]` stack (reference
+    modules.py:182-223 slices torchvision vgg19.features at indices
+    2/7/12) rebuilt in plain torch — same layer layout and state_dict
+    keys ("0.weight", ... "10.bias") as torchvision's, so
+    `convert_vgg_feat` sees the exact torchvision contract without
+    needing torchvision installed."""
+    import torch.nn as nn
+
+    return nn.Sequential(
+        nn.Conv2d(3, 64, 3, padding=1), nn.ReLU(inplace=True),
+        nn.Conv2d(64, 64, 3, padding=1), nn.ReLU(inplace=True),
+        nn.MaxPool2d(2, 2),
+        nn.Conv2d(64, 128, 3, padding=1), nn.ReLU(inplace=True),
+        nn.Conv2d(128, 128, 3, padding=1), nn.ReLU(inplace=True),
+        nn.MaxPool2d(2, 2),
+        nn.Conv2d(128, 256, 3, padding=1), nn.ReLU(inplace=True),
+    )
+
+
+def _vgg_feat_parity(features, rng, atol, label):
+    """Shared check: torch VGG_Feat forward (MeanShift + three slices,
+    reference modules.py:212-223) vs flax VGGFeat with weights
+    transplanted via convert_vgg_feat."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgteun_tpu.convert.torch_import import convert_vgg_feat
+    from lgteun_tpu.models.common.discriminators import VGGFeat
+
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    # reference forward: MeanShift (modules.py:169-180) then slices
+    # [0:2] -> lv1, [2:7] -> lv2, [7:12] -> lv3
+    mean = torch.tensor((0.485, 0.456, 0.406))
+    std = torch.tensor((0.229, 0.224, 0.225))
+    xt = _to_torch_nchw(x)
+    xt = (xt - mean.view(1, 3, 1, 1)) / std.view(1, 3, 1, 1)
+    with torch.no_grad():
+        lv1 = features[0:2](xt)
+        lv2 = features[2:7](lv1)
+        lv3 = features[7:12](lv2)
+
+    sd = {k: v.detach().cpu().numpy() for k, v in
+          features.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_vgg_feat(sd))
+    f = VGGFeat()
+    got = f.apply({"params": params}, jnp.asarray(x))
+    for level, (g, w) in enumerate(zip(got, (lv1, lv2, lv3)), 1):
+        _assert_close(g, w.numpy().transpose(0, 2, 3, 1), atol,
+                      f"{label} lv{level}")
+
+
+def test_vgg_feat_transplant_parity(rng):
+    """convert_vgg_feat transplant parity vs the real torch forward of
+    the reference's VGG_Feat (reference modules.py:182-223), using a
+    randomly initialised features[0:12] stack in the exact torchvision
+    layout (torchvision itself is optional — see the pretrained test)."""
+    torch.manual_seed(7)
+    features = _torch_vgg_features12().eval()
+    _vgg_feat_parity(features, rng, 1e-5, "vgg_feat random-init")
+
+
+def test_vgg_feat_pretrained_parity(rng):
+    """Same parity with torchvision's PRETRAINED vgg19 weights — the
+    reference's actual initialisation (modules.py:188
+    `models.vgg19(pretrained=True)`). Skips when torchvision or its
+    weight cache is unavailable (zero-egress environments)."""
+    torchvision = pytest.importorskip("torchvision")
+    try:
+        vgg = torchvision.models.vgg19(weights="IMAGENET1K_V1")
+    except Exception as e:  # weight download blocked / cache missing
+        pytest.skip(f"pretrained vgg19 unavailable: {e}")
+    features = vgg.features[:12].eval()
+    # pretrained activations are larger than random-init ones; scale
+    # the tolerance accordingly (still fp32-noise class)
+    _vgg_feat_parity(features, rng, 5e-5, "vgg_feat pretrained")
