@@ -39,7 +39,12 @@ a mesh axis (data-parallel tiles; composes with `parallel.mesh`).
 Cost model: tiling recomputes the halo overlap, a factor of (T/S)^2 —
 1.78x for halo=16 at T=128, 1.31x for halo=8 — so the expected
 large-scene throughput is (batched-tile MP/s) / (T/S)^2. Measured
-numbers live in `benchmarks/large_tile.json` (`scripts/bench_scene.py`).
+(v5e, 8-band, fuse level 2, batch 96, `scripts/bench_scene.py`,
+committed in `benchmarks/scene.json`): 2048^2 halo=8 16.95 MP/s /
+halo=16 13.6 MP/s; 4096^2 halo=8 18.04 MP/s / halo=16 13.56 MP/s —
+i.e. 2.0-2.7x the 6.7 MP/s whole-image path
+(`benchmarks/large_tile.json`) and right on the cost model
+(26.25 / 1.31 = 20 minus grid-padding waste).
 """
 
 from __future__ import annotations

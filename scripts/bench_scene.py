@@ -3,11 +3,21 @@
 Times `parallel.scene.fuse_scene` (overlapping 128px tiles batched
 through the fused Pallas engine, cosine-blended seams) on large scenes,
 next to the whole-image plain-XLA number from
-`scripts/bench_large_tile.py`. Single chip, batch of tiles per
-dispatch; one jitted program per scene shape.
+`scripts/bench_large_tile.py`. Single chip; one jitted program per
+scene shape.
+
+Timing methodology (same as bench.py): the TPU is reached through a
+tunnel whose per-dispatch round trip and host->device scene upload
+(16-72 MB per call) dwarf the on-device work, so the scene program runs
+inside an on-device fori_loop with the inputs device-resident, and the
+per-scene time is the difference between an n2- and an n1-iteration
+call (cancels dispatch + readback exactly; inputs are device-resident
+so no upload is in the loop). A single-dispatch wall-clock with
+device-resident inputs (dispatch + on-device run + scalar readback
+through the tunnel) is also recorded as `wall_ms_single_dispatch`.
 
 Usage: python scripts/bench_scene.py [--sizes 2048,4096] [--halos 8,16]
-       [--out benchmarks/large_tile.json]
+       [--out benchmarks/scene.json]
 """
 
 from __future__ import annotations
@@ -41,9 +51,11 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    import jax.numpy as jnp
+
     import lgteun_tpu.models  # noqa: F401
     from lgteun_tpu.config import Config, LossCfg
-    from lgteun_tpu.parallel.scene import fuse_scene
+    from lgteun_tpu.parallel.scene import _build_scene_fn, fuse_scene
     from lgteun_tpu.registry import build_model
 
     c = args.bands
@@ -58,25 +70,46 @@ def main():
                "fuse_level": os.environ.get("LGTEUN_FUSE_LEVEL", "2"),
                "scenes": {}}
     for size in (int(s) for s in args.sizes.split(",")):
-        ms = rng.uniform(0, 1, (size // 4, size // 4, c)).astype(np.float32)
-        pan = rng.uniform(0, 1, (size, size, 1)).astype(np.float32)
+        ms = jnp.asarray(rng.uniform(0, 1, (size // 4, size // 4, c)),
+                         jnp.float32)
+        pan = jnp.asarray(rng.uniform(0, 1, (size, size, 1)), jnp.float32)
         for halo in (int(h) for h in args.halos.split(",")):
-            out = fuse_scene(method, params, ms, pan, tile=args.tile,
-                             halo=halo, batch=args.batch)
-            out.block_until_ready()  # compile + warmup
-            best = float("inf")
-            for _ in range(args.reps):
+            scene_fn = _build_scene_fn(method, (size, size), c, args.tile,
+                                       halo, args.batch, None)
+
+            @jax.jit
+            def chained(p, ms_, pan_, n, scene_fn=scene_fn):
+                def body(_, carry):
+                    ms_c, acc = carry
+                    out = scene_fn(p, ms_c, pan_)
+                    return (ms_c + 1e-12 * jnp.mean(out),
+                            acc + jnp.mean(out))
+
+                _, acc = jax.lax.fori_loop(0, n, body,
+                                           (ms_, jnp.float32(0)))
+                return acc
+
+            def run(n, chained=chained):
                 t0 = time.perf_counter()
-                fuse_scene(method, params, ms, pan, tile=args.tile,
-                           halo=halo, batch=args.batch).block_until_ready()
-                best = min(best, time.perf_counter() - t0)
+                float(chained(params, ms, pan, n))
+                return time.perf_counter() - t0
+
+            wall0 = run(1)  # compile + warmup; ~single-dispatch wall
+            wall1 = min(run(1) for _ in range(2))
+            n1, n2 = 1, 1 + args.reps
+            t1 = min(run(n1) for _ in range(2))
+            t2 = min(run(n2) for _ in range(2))
+            best = max(t2 - t1, 1e-9) / (n2 - n1)
             mps = size * size / best / 1e6
             results["scenes"][f"{size}_halo{halo}"] = {
                 "ms_per_scene": round(best * 1e3, 2),
                 "mp_per_s": round(mps, 2),
+                "wall_ms_single_dispatch": round(wall1 * 1e3, 2),
             }
-            print(f"{size}^2 halo={halo}: {best * 1e3:.1f} ms "
-                  f"= {mps:.2f} MP/s", flush=True)
+            print(f"{size}^2 halo={halo}: {best * 1e3:.1f} ms on-device "
+                  f"= {mps:.2f} MP/s (single-dispatch wall, device-"
+                  f"resident inputs: {wall1 * 1e3:.0f} ms)", flush=True)
+            del wall0
 
     print(json.dumps(results, indent=1))
     if args.out:
