@@ -148,16 +148,18 @@ def _pack_mats(win: int, w: int):
     einsum does the same relayout on the MXU (measured v5e,
     [96,16,128,128] pack+unpack pair: 2.9 ms transpose -> 2.0 ms
     HIGH-precision matmul -> single-pass bf16 matmul, see
-    `_window_pairs_mm` for why bf16 is numerically free here)."""
+    `_window_pairs_mm` for why bf16 is numerically free here).
+
+    The flat [win*w, win*w] form lives in ops/lgb_block_kernel.py
+    (the megakernel packs in-kernel with the same matrices); this
+    reshapes it to the einsum-friendly [m, npair, 2win^2] pair."""
+    from lgteun_tpu.ops.lgb_block_kernel import pack_mats
+
     npair = w // (2 * win)
     m = win * w
-    P = np.zeros((m, npair, 2 * win * win), np.float32)
-    for r in range(win):
-        for col in range(w):
-            j, q = col // (2 * win), col % (2 * win)
-            pw, cc = q // win, q % win
-            P[r * w + col, j, pw * win * win + r * win + cc] = 1.0
-    Pinv = P.reshape(m, -1).T.reshape(npair, 2 * win * win, m)
+    Pflat, _ = pack_mats(win, w)
+    P = Pflat.reshape(m, npair, 2 * win * win)
+    Pinv = Pflat.T.reshape(npair, 2 * win * win, m)
     return P, Pinv  # numpy (jnp constants would leak across traces)
 
 
