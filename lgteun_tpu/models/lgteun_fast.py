@@ -293,6 +293,21 @@ def _lgb_cm(x, p, num_blocks, win, heads):
     fused = (jax.default_backend() == "tpu"
              and (x.shape[-2] * x.shape[-1]) % 128 == 0
              and not _parity_grade() and fuse_level() >= 2)
+    # fuse level 3: the whole-block megakernel (one VMEM residence per
+    # block — no inter-kernel HBM spill; ops/lgb_block_kernel.py) on
+    # megakernel-aligned shapes; the bottleneck keeps the 3-kernel path
+    mega = (fused and fuse_level() >= 3 and x.shape[-1] % 128 == 0
+            and x.shape[-1] % (2 * win) == 0 and x.shape[-2] % win == 0)
+    if mega:
+        from lgteun_tpu.ops.lgb_block_kernel import fused_lgb_block_cm
+
+        for i in range(num_blocks):
+            mx = p[f"mixer_{i}"]
+            blk = {"norm": p[f"norm_mix_{i}"], "local": mx["local"],
+                   "global": mx["global"], "proj": mx["proj"],
+                   "ffn": _ffn_flat(p[f"ffn_{i}"])}
+            x = fused_lgb_block_cm(x, blk, win=win, heads=heads)
+        return x
     for i in range(num_blocks):
         mx = p[f"mixer_{i}"]
         if fused:

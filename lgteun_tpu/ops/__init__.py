@@ -5,6 +5,13 @@ def fuse_level() -> int:
     """Staged kernel-fusion level for the TPU inference fast path
     (env LGTEUN_FUSE_LEVEL, read at trace time):
 
+      3            whole-LGB-block megakernel (ops/lgb_block_kernel)
+                   for full-res blocks — one VMEM residence per block;
+                   bottleneck keeps the level-2 composition. On-chip
+                   proven (scripts/prove_kernels.py) but measured
+                   slightly SLOWER than level 2 at the headline shape
+                   (24.7 vs 26.25 MP/s, see ROOFLINE.md) — kept as an
+                   explicit opt-in, not the default
       2 (default)  every fused Pallas kernel: LN+mixer head, packed
                    window attention with tanh-form softmax, block tail
                    (row-tiled and roll-based), fused global mixer

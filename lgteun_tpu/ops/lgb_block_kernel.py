@@ -104,20 +104,23 @@ def _pos2_blockdiag(pos, neg_val=-1e9):
         jnp.concatenate([neg, pos], axis=2)], axis=1)
 
 
-def _attention_band(qkv, pos2, *, c2, heads, npair, scale, tanh_exp):
-    """Packed-band attention: qkv [3c2, npair*2S] (pair-major packed
-    lanes) -> [c2, npair*2S]. Window pairs ride the dot_general batch
-    axis; softmax is the v3 kernel's (max-subtract + tanh-form exp)."""
+def _attention_packed(qkv, pos2, *, c2, heads, npairs, scale, tanh_exp):
+    """Whole-image packed attention: qkv [3c2, npairs*2S] (pair-major
+    packed lanes) -> [c2, npairs*2S]. All window pairs ride the
+    dot_general batch axis at once (lane-split reshape + transpose —
+    both Mosaic-proven, scripts/probe_mosaic_layouts.py); softmax is
+    the v3 kernel's (max-subtract + tanh-form exp)."""
     hd = c2 // heads
-    s2 = qkv.shape[-1] // npair  # 2 * win^2 lanes per pair
+    s2 = qkv.shape[-1] // npairs  # 2 * win^2 lanes per pair
+
+    def batched(t):
+        return t.reshape(hd, npairs, s2).transpose(1, 0, 2)
+
     outs = []
     for h in range(heads):
-        q = jnp.stack([qkv[h * hd:(h + 1) * hd, j * s2:(j + 1) * s2]
-                       for j in range(npair)])            # [np, hd, 2S]
-        k = jnp.stack([qkv[c2 + h * hd:c2 + (h + 1) * hd,
-                           j * s2:(j + 1) * s2] for j in range(npair)])
-        v = jnp.stack([qkv[2 * c2 + h * hd:2 * c2 + (h + 1) * hd,
-                           j * s2:(j + 1) * s2] for j in range(npair)])
+        q = batched(qkv[h * hd:(h + 1) * hd])             # [np, hd, 2S]
+        k = batched(qkv[c2 + h * hd:c2 + (h + 1) * hd])
+        v = batched(qkv[2 * c2 + h * hd:2 * c2 + (h + 1) * hd])
         sim = jax.lax.dot_general(
             q * scale, k,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -125,14 +128,15 @@ def _attention_band(qkv, pos2, *, c2, heads, npair, scale, tanh_exp):
         sim = sim + pos2[h][None]
         sim = sim - jnp.max(sim, axis=-1, keepdims=True)
         e = _exp_from_tanh(sim) if tanh_exp else jnp.exp(sim)
-        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        # normalisation folded past the value matmul (see _kernel_v3)
+        recip = 1.0 / jnp.sum(e, axis=-1)                 # [np, 2S]
         out_h = jax.lax.dot_general(
-            v, attn,
+            v, e,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # [np, hd, 2S]
-        outs.append(out_h)
-    ob = jnp.concatenate(outs, axis=1)                    # [np, c2, 2S]
-    return jnp.concatenate([ob[j] for j in range(npair)], axis=1)
+        out_h = out_h * recip[:, None, :]
+        outs.append(out_h.transpose(1, 0, 2).reshape(hd, npairs * s2))
+    return jnp.concatenate(outs, axis=0)                  # [c2, np*2S]
 
 
 def _kernel(x_ref, lng, lnb, asc, abi, psc, pbi,
@@ -158,28 +162,36 @@ def _kernel(x_ref, lng, lnb, asc, abi, psc, pbi,
                                          wis)), c=c2, h=h, w=w, trig=trig)
 
     # ---- local branch: pack -> qkv -> pair-batched MHSA -> unpack ----
+    # All 8-row bands pack in ONE [c2*nb, win*w] matmul (band rides the
+    # sublane axis next to channels), qkv is one [3c2, c2] @ [c2, h*w]
+    # matmul, and every window pair in the image batches through one
+    # pair of attention dot_generals.
     nb = h // win
-    npair = w // (2 * win)
+    npairs = (h // win) * (w // (2 * win))
     m = win * w
-    x1_bands = []
-    for bi in range(nb):
-        band = y[:c2, bi * win:(bi + 1) * win, :].reshape(c2, m)
-        pb = jax.lax.dot_general(
-            band, packP[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [c2, m] packed
-        qkv = jax.lax.dot_general(
-            wqkvt[:], pb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bqkv[:]
-        ab = _attention_band(qkv, pos2, c2=c2, heads=heads, npair=npair,
-                             scale=scale, tanh_exp=tanh_exp)
-        x1b = jax.lax.dot_general(
-            ab, packPinv[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [c2, m] flat
-        x1_bands.append(x1b.reshape(c2, win, w))
-    x1 = jnp.concatenate(x1_bands, axis=1)                # [c2, h, w]
+
+    def per_band(t, cc):
+        """[cc, h*w] <-> [cc*nb, m] (band index onto the sublane axis)."""
+        return t.reshape(cc, nb, m).reshape(cc * nb, m)
+
+    def un_band(t, cc):
+        return t.reshape(cc, nb, m).reshape(cc, h * w)
+
+    y1f = y[:c2].reshape(c2, h * w)
+    pb = un_band(jax.lax.dot_general(
+        per_band(y1f, c2), packP[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32), c2)          # [c2, hw] packed
+    qkv = jax.lax.dot_general(
+        wqkvt[:], pb,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv[:]     # [3c2, hw]
+    ap = _attention_packed(qkv, pos2, c2=c2, heads=heads, npairs=npairs,
+                           scale=scale, tanh_exp=tanh_exp)
+    x1 = un_band(jax.lax.dot_general(
+        per_band(ap, c2), packPinv[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32), c2).reshape(c2, h, w)
 
     # ---- tail: xm = x + proj([x1; x2]); out = xm + FFN(LN(xm)) ----
     # (the row-tiled halo walk of ops/ffn_kernel._tail_kernel)

@@ -108,11 +108,13 @@ def main():
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(q)
-        qn = np.asarray(q)
+        # Mosaic dots round operands to bf16 — compare against the
+        # bf16-rounded oracle (measured on chip: 9.5e-7 max err)
+        qn = np.asarray(q).astype(jnp.bfloat16).astype(np.float32)
         want = np.stack([qn[:, j * 128:(j + 1) * 128].T
                          @ qn[:, j * 128:(j + 1) * 128]
                          for j in range(npair)])
-        ok = np.allclose(np.asarray(out), want, atol=2e-2)
+        ok = np.allclose(np.asarray(out), want, atol=1e-4)
         print(f"P4 slice-stack + batched dot: {'PASS' if ok else 'WRONG'}")
     except Exception as e:  # noqa: BLE001
         print(f"P4 slice-stack + batched dot: FAIL "

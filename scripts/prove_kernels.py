@@ -139,6 +139,41 @@ def _cases(rng):
                           xh.astype(jnp.bfloat16), lng, lnb, asc, abi, psc,
                           pbi, trig="poly")), want_head))
 
+    # --- whole-LGB-block megakernel (fuse level 3) --------------------------
+    from lgteun_tpu.ops.lgb_block_kernel import (
+        fused_lgb_block_cm, lgb_block_xla_cm,
+    )
+
+    cb = 8
+    conv = lambda ci, co: {"Conv_0": {"Conv_0": {
+        "kernel": f32(1, 1, ci, co), "bias": f32(co)}}}
+    blk = {
+        "norm": {"scale": 1.0 + 0.1 * f32(cb), "bias": f32(cb)},
+        "local": {"to_qkv_kernel": f32(1, 1, cb // 2, 3 * cb // 2),
+                  "to_qkv_bias": f32(3 * cb // 2),
+                  "pos_emb": f32(2, 64, 64)},
+        "global": {"amp_scale": f32(1, 1, 1, cb // 2),
+                   "amp_bias": f32(cb // 2),
+                   "pha_scale": f32(1, 1, 1, cb // 2),
+                   "pha_bias": f32(cb // 2)},
+        "proj": conv(cb, cb),
+        "ffn": {"ln_gamma": 1.0 + 0.1 * f32(cb), "ln_beta": f32(cb),
+                "w1": f32(cb, 4 * cb), "b1": f32(4 * cb),
+                "w2": f32(4 * cb, 4 * cb), "b2": f32(4 * cb),
+                "dw": f32(3, 3, 4 * cb), "bdw": f32(4 * cb),
+                "w3": f32(4 * cb, cb), "b3": f32(cb)},
+    }
+    xlgb = f32(2, cb, 16, 128)
+    want_lgb = lambda: lgb_block_xla_cm(xlgb, blk)
+    for te in (False, True):
+        cases.append((f"lgb megakernel tanh_exp={te}",
+                      lambda te=te: fused_lgb_block_cm(
+                          xlgb, blk, tile_rows=8, tanh_exp=te), want_lgb))
+    cases.append(("lgb megakernel bf16-io",
+                  lambda: fused_lgb_block_cm(
+                      xlgb.astype(jnp.bfloat16), blk,
+                      tile_rows=8).astype(jnp.float32), want_lgb))
+
     # --- whole-network LightNet kernel -------------------------------------
     from lgteun_tpu.models.lightnet import LightNetModule
     from lgteun_tpu.ops.lightnet_kernel import lightnet_fused_forward
