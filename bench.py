@@ -10,15 +10,19 @@ RTX 3090 (paper Table 4, measurement loop reference
 base_model.py:299-302), i.e. 16384 px / 0.0133 s = 1.232 MP/s.
 The >=10x target therefore sits at vs_baseline >= 10.
 
-The headline measures the documented THROUGHPUT serving mode:
-LGTEUN_EVAL_DTYPE=bf16 selective activation storage (kernel math f32 —
-see models/lgteun_fast.py). Measured v5e, batch 96: 30.0 MP/s (24.4x)
-vs 26.25 MP/s (21.3x) full-f32. Its metric-level cost is measured and
-shipped with the number ("psnr_delta_db": -0.103 dB vs highest-
-precision on the synthetic WV-3 study, benchmarks/eval_numerics.json);
-metric-REPORTING runs default to f32/HIGHEST per PARITY.md "Eval-mode
-numerics" — the bf16 mode is the serving engine, never the scorer.
-The retry ladder degrades bf16 -> f32 -> lower fuse levels, so the
+The headline measures the documented IN-BUDGET serving mode:
+LGTEUN_EVAL_DTYPE=bf16res (bf16 storage for the mixer-branch tensors,
+f32 residual stream, kernel math f32 — see models/lgteun_fast.py).
+On TPU its output is BIT-IDENTICAL to the fused f32 path (every
+bf16-stored tensor feeds only Mosaic matmuls that round operands to
+bf16 anyway), so its metric cost is the fused-path budget: -0.048 dB
+vs highest-precision on the synthetic WV-3 study
+(benchmarks/eval_numerics.json) — inside the repo's 0.05 dB budget
+(PARITY.md "Eval-mode numerics"). Measured v5e, batch 96, same
+session: bf16res 28.6 MP/s (23.2x) vs f32 27.3 (22.2x) vs full-bf16
+storage 31.0 (25.2x, -0.103 dB — OUT of budget, available as an
+explicit opt-in, never the scorer or the headline).
+The retry ladder degrades bf16res -> f32 -> lower fuse levels, so the
 JSON "mode" field says what actually ran.
 """
 
@@ -157,13 +161,19 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(mps / REF_MPS, 3),
     }
-    if os.environ.get("LGTEUN_EVAL_DTYPE") == "bf16":
-        # measured metric cost of the bf16-storage serving mode vs the
-        # highest-precision engine (benchmarks/eval_numerics.json)
+    # measured metric cost of each mode vs the highest-precision
+    # engine (benchmarks/eval_numerics.json); bf16res is bit-identical
+    # to the fused f32 path on TPU so it carries the fused budget
+    edt = os.environ.get("LGTEUN_EVAL_DTYPE")
+    if edt == "bf16":
         line["mode"] = "bf16-storage"
         line["psnr_delta_db"] = -0.103
+    elif edt == "bf16res":
+        line["mode"] = "bf16res-storage"
+        line["psnr_delta_db"] = -0.048
     else:
         line["mode"] = "f32"
+        line["psnr_delta_db"] = -0.048
     print(json.dumps(line))
 
 
@@ -176,8 +186,8 @@ def _run_guarded():
     a separate watchdog'd process. The last attempt's JSON line (if
     any) is relayed to stdout for the driver.
 
-    Attempts ladder down the engine: bf16-storage throughput mode,
-    then full f32, then the on-chip-proven kernel subset, then plain
+    Attempts ladder down the engine: the in-budget bf16res storage
+    mode, then full f32, then the on-chip-proven kernel subset, then plain
     XLA (`LGTEUN_FUSE_LEVEL`) — so a Mosaic regression in one new
     kernel degrades the number instead of zeroing the benchmark."""
     import subprocess
@@ -189,7 +199,7 @@ def _run_guarded():
     # warm-cache rerun taking 9 min where the first run took 7) — so
     # the first attempts get 750 s; the ladder's worst case is ~48 min.
     budgets = (750, 750, 550, 550)
-    fuse_ladder = ((2, "bf16"), (2, None), (1, None), (0, None))
+    fuse_ladder = ((2, "bf16res"), (2, None), (1, None), (0, None))
     for i, (level, edt) in enumerate(fuse_ladder):
         per_attempt_s = budgets[i]
         env = dict(os.environ, LGTEUN_FUSE_LEVEL=str(level))

@@ -22,8 +22,11 @@ class UnlgFormer(FlaxMethod):
 
     TPU inference uses the channel-major fast path
     (models/lgteun_fast.py; 112 -> 62 ms at the WV-3 bench shape,
-    identical math — LGTEUN_FAST=0 restores the flax module);
-    training and other backends use the module."""
+    identical math — LGTEUN_FAST=0 restores the flax module).
+    TPU f32 training ALSO uses the fast path (fused kernels through
+    their custom_vjp wrappers, dropout as in-kernel masks —
+    LGTEUN_FAST_TRAIN=0 restores the module); selective-bf16
+    (`mixed_precision`) training and other backends use the module."""
 
     # UnlgFormer implements mixed precision SELECTIVELY inside the
     # module (bf16 prior matmuls/convs, f32 LN/softmax/spectral/
@@ -34,6 +37,7 @@ class UnlgFormer(FlaxMethod):
     def make_module(self):
         g_cfg = dict(self.cfg.model_cfg.get("core_module", {}))
         self._stage = g_cfg.get("stage", 5)
+        self._drop_rate = g_cfg.get("drop_rate", 0.1)
         import jax.numpy as jnp
 
         dtype = (jnp.bfloat16
@@ -50,14 +54,23 @@ class UnlgFormer(FlaxMethod):
         # kernel's internal math f32 — `lgteun_fast._storage_dtype`),
         # not the blanket flax autocast (which round-2 measured at a
         # ~2 dB PSNR loss; still reachable via LGTEUN_FAST=0).
-        if (not train and jax.default_backend() == "tpu"
+        if (jax.default_backend() == "tpu"
                 and os.environ.get("LGTEUN_FAST", "1") == "1"):
             from lgteun_tpu.models.lgteun_fast import lgteun_fast_forward
 
-            return lgteun_fast_forward(params["core_module"],
-                                       batch["input_lr"],
-                                       batch["input_pan"],
-                                       stage=self._stage)
+            if not train:
+                return lgteun_fast_forward(params["core_module"],
+                                           batch["input_lr"],
+                                           batch["input_pan"],
+                                           stage=self._stage)
+            if (os.environ.get("LGTEUN_FAST_TRAIN", "1") == "1"
+                    and not self.cfg.get("mixed_precision", False)):
+                return lgteun_fast_forward(params["core_module"],
+                                           batch["input_lr"],
+                                           batch["input_pan"],
+                                           stage=self._stage, train=True,
+                                           drop_rate=self._drop_rate,
+                                           rng=rng)
         return super().apply(params, batch, train=train, rng=rng)
 
 

@@ -25,15 +25,22 @@ which is itself within ~30% of a same-FLOPs matmul probe and VPU-bound
 (GELU + taps) — see README "Known bottleneck".
 
 Used by the `UnlgFormer` Method for TPU inference (LGTEUN_FAST=0
-restores the flax module path); training and other backends always use
-the module. f32-parity with the module is tested in
-tests/test_lgteun.py::test_fast_forward_matches_module.
+restores the flax module path) AND for TPU f32 training
+(`train=True`: fused kernels through custom_vjp wrappers with
+XLA-recompute backwards, dropout as in-kernel masks —
+LGTEUN_FAST_TRAIN=0 restores the module); other backends and the
+selective-bf16 recipe use the module. f32-parity with the module is
+tested in tests/test_lgteun.py::test_fast_forward_matches_module and
+(gradients) tests/test_lgteun_fast_train.py.
 
-LGTEUN_EVAL_DTYPE=bf16 switches the trunk to selective bf16 STORAGE
-(see `_storage_dtype`): inter-kernel activations are bf16 (half the
-kernel DMA), every kernel upcasts on load and runs its math — LN
-statistics, softmax, the spectral chain, GELU — in f32, and the
-unfolding data steps + final residual stay f32. Drift bound tested in
+LGTEUN_EVAL_DTYPE switches the trunk to selective bf16 STORAGE (see
+`_storage_dtype` for the two recipes): inter-kernel activations are
+bf16 (half the kernel DMA), every kernel upcasts on load and runs its
+math — LN statistics, softmax, the spectral chain, GELU — in f32, and
+the unfolding data steps + final residual stay f32. `bf16` rounds
+everything incl. the LGB residual stream; `bf16res` rounds only the
+mixer branch tensors so the error cannot compound across blocks —
+the in-budget serving headline. Drift bounds tested in
 tests/test_lgteun.py::test_fast_forward_bf16_storage_drift_bounded.
 
 Reference provenance is unchanged: models/unlg_former.py:21-67,
@@ -56,17 +63,37 @@ __all__ = ["lgteun_fast_forward"]
 
 
 def _storage_dtype():
-    """LGTEUN_EVAL_DTYPE=bf16 -> bfloat16 ACTIVATION STORAGE for the
-    TPU inference trunk: tensors between the fused kernels are held in
-    bf16 (halving their HBM DMA) while every kernel upcasts on load and
-    computes in f32 (LN statistics, softmax, the spectral chain, GELU —
-    the selective recipe, mirroring the training side's
-    `handles_mixed`). The unfolding data steps (D/DT/R/RT, eta) stay
-    f32. Default None = full f32 storage (reference numerics)."""
+    """LGTEUN_EVAL_DTYPE selects the trunk's activation-storage recipe
+    (kernel-internal math — LN statistics, softmax, the spectral chain,
+    GELU — is ALWAYS f32; only what is stored/DMA'd between kernels
+    changes). Returns (sdtype, res_f32):
+
+      unset      -> (None, False): full f32 storage (reference numerics)
+      "bf16"     -> (bf16, False): every inter-kernel tensor incl. the
+                    LGB residual stream is bf16 (half the kernel DMA).
+                    Fastest, but the residual stream re-rounds to bf16
+                    after every block, so error accumulates across the
+                    6 LGB blocks (measured -0.103 dB on the synthetic
+                    WV-3 study, benchmarks/eval_numerics.json).
+      "bf16res"  -> (bf16, True): the mixer BRANCH tensors (y1/x1/x2 —
+                    the half-channel streams between the head kernel,
+                    the attention kernel and the block tail) are bf16,
+                    but the residual stream x, the inter-scale
+                    resample/pointconvs and the block outputs stay f32,
+                    so per-block rounding enters only through branch
+                    operands and never compounds on the trunk value.
+                    The in-budget serving mode (see the same study for
+                    its measured delta).
+
+    The unfolding data steps (D/DT/R/RT, eta) stay f32 in every mode."""
     import os
 
-    return (jnp.bfloat16
-            if os.environ.get("LGTEUN_EVAL_DTYPE") == "bf16" else None)
+    mode = os.environ.get("LGTEUN_EVAL_DTYPE")
+    if mode == "bf16":
+        return jnp.bfloat16, False
+    if mode == "bf16res":
+        return jnp.bfloat16, True
+    return None, False
 
 
 def _pointconv_cm(x, p, sdtype=None):
@@ -210,9 +237,10 @@ def _parity_grade() -> bool:
     return os.environ.get("LGTEUN_MATMUL_PRECISION", "").lower() == "highest"
 
 
-def _local_mixer_cm(x, p, win, heads):
+def _local_mixer_cm(x, p, win, heads, train=False):
     from lgteun_tpu.ops.window_attention import (
         fused_window_attention_v3_packed,
+        fused_window_attention_v3_packed_train,
         window_attention_xla,
     )
 
@@ -223,10 +251,13 @@ def _local_mixer_cm(x, p, win, heads):
     if (jax.default_backend() == "tpu" and (w // win) % 2 == 0
             and not _parity_grade() and fuse_level() >= 1):
         xp = _window_pairs_mm(x, win).astype(x.dtype)  # [N/2, C, 2S]
-        out = fused_window_attention_v3_packed(xp, wqkv, bqkv,
-                                               p["pos_emb"], heads=heads,
-                                               scale=scale,
-                                               tanh_exp=fuse_level() >= 2)
+        if train:
+            out = fused_window_attention_v3_packed_train(
+                xp, wqkv, bqkv, p["pos_emb"], heads, scale)
+        else:
+            out = fused_window_attention_v3_packed(
+                xp, wqkv, bqkv, p["pos_emb"], heads=heads, scale=scale,
+                tanh_exp=fuse_level() >= 2)
         return _unwindow_pairs_mm(out, win, (h, w), b).astype(x.dtype)
     xt = _windows_cm(x, win)  # [N, C, S]
     out = window_attention_xla(xt.transpose(0, 2, 1), wqkv, bqkv,
@@ -235,12 +266,12 @@ def _local_mixer_cm(x, p, win, heads):
     return _unwindows_cm(out, win, (h, w), b).astype(x.dtype)
 
 
-def _global_mixer_cm(x, p):
+def _global_mixer_cm(x, p, train=False):
     """FFT amp/phase mixer, channel-major (exact forward values incl.
     the zero-bin convention and the reference's epsilons). The spectral
     math is always f32; bf16-storage inputs round only at the output."""
-    if (jax.default_backend() == "tpu" and not _parity_grade()
-            and fuse_level() >= 2):
+    if (not train and jax.default_backend() == "tpu"
+            and not _parity_grade() and fuse_level() >= 2):
         from lgteun_tpu.ops.spectral_kernel import fused_global_mixer_cm
 
         return fused_global_mixer_cm(
@@ -274,20 +305,43 @@ def _ffn_flat(p):
     }
 
 
-def _ffn_cm(x, p, eps=1e-5):
+def _ffn_cm(x, p, eps=1e-5, train=False):
     from lgteun_tpu.ops.ffn_kernel import fused_ln_ffn_cm, ln_ffn_xla
 
     flat = _ffn_flat(p)
-    if (jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0
+    # train goes through XLA: this branch is only reached at fuse
+    # level < 2 (the train wrappers cover the level-2 tail kernel) and
+    # the raw CM FFN kernel has no vjp
+    if (not train and jax.default_backend() == "tpu"
+            and x.shape[-1] % 128 == 0
             and not _parity_grade() and fuse_level() >= 1):
         return fused_ln_ffn_cm(x, flat, eps=eps)  # includes the +x residual
     y = ln_ffn_xla(jnp.moveaxis(x, 1, -1), flat, eps=eps)
     return jnp.moveaxis(y, -1, 1)
 
 
-def _lgb_cm(x, p, num_blocks, win, heads):
+def _lgb_cm(x, p, num_blocks, win, heads, bdtype=None, train=False,
+            drop_rate=0.0, rng=None):
+    """One LGB stack. `bdtype` (bf16res mode): storage dtype for the
+    mixer BRANCH tensors only — y1/x2 out of the head kernel, x1 out of
+    attention — while the residual stream x stays in its own dtype
+    (f32). The fused tail kernel upcasts the bf16 branch refs on load
+    and writes the block output in x's dtype, so rounding never
+    compounds across blocks.
+
+    `train` routes the fused kernels through their custom_vjp wrappers
+    (Pallas forward, XLA-recompute backward) and applies the
+    reference's Dropout(drop_rate) after the mixer proj (reference
+    LGT.py:198) as an in-kernel mask sampled from `rng`."""
     c = x.shape[1]
     half = c // 2
+    use_drop = train and drop_rate > 0.0 and rng is not None
+    keep = 1.0 - drop_rate
+
+    def drop_mask(k, shape, dtype):
+        m = jax.random.bernoulli(k, keep, shape)
+        return m.astype(dtype) * (1.0 / keep)
+
     # full-res (W%128) blocks run the row-tiled tail kernel; the 64x64
     # bottleneck (H*W%128) runs the whole-image roll-based variant
     fused = (jax.default_backend() == "tpu"
@@ -296,7 +350,8 @@ def _lgb_cm(x, p, num_blocks, win, heads):
     # fuse level 3: the whole-block megakernel (one VMEM residence per
     # block — no inter-kernel HBM spill; ops/lgb_block_kernel.py) on
     # megakernel-aligned shapes; the bottleneck keeps the 3-kernel path
-    mega = (fused and fuse_level() >= 3 and x.shape[-1] % 128 == 0
+    mega = (fused and not train and fuse_level() >= 3
+            and x.shape[-1] % 128 == 0
             and x.shape[-1] % (2 * win) == 0 and x.shape[-2] % win == 0)
     if mega:
         from lgteun_tpu.ops.lgb_block_kernel import fused_lgb_block_cm
@@ -310,38 +365,73 @@ def _lgb_cm(x, p, num_blocks, win, heads):
         return x
     for i in range(num_blocks):
         mx = p[f"mixer_{i}"]
+        mask = None
+        if use_drop:
+            rng, kb = jax.random.split(rng)
+            mask = drop_mask(kb, x.shape, x.dtype)
         if fused:
-            from lgteun_tpu.ops.ffn_kernel import fused_block_tail_cm
-            from lgteun_tpu.ops.spectral_kernel import fused_ln_mixer_head_cm
+            from lgteun_tpu.ops.ffn_kernel import (
+                fused_block_tail_cm,
+                fused_block_tail_train,
+            )
+            from lgteun_tpu.ops.spectral_kernel import (
+                fused_ln_mixer_head_cm,
+                fused_ln_mixer_head_train,
+            )
 
             g = mx["global"]
-            y1, x2 = fused_ln_mixer_head_cm(
-                x, p[f"norm_mix_{i}"]["scale"], p[f"norm_mix_{i}"]["bias"],
-                g["amp_scale"][0, 0, 0], g["amp_bias"],
-                g["pha_scale"][0, 0, 0], g["pha_bias"])
-            x1 = _local_mixer_cm(y1, mx["local"], win, heads)
-            x = fused_block_tail_cm(
-                x, x1, x2, mx["proj"]["Conv_0"]["Conv_0"]["kernel"][0, 0],
-                mx["proj"]["Conv_0"]["Conv_0"]["bias"],
-                _ffn_flat(p[f"ffn_{i}"]))
+            pk = mx["proj"]["Conv_0"]["Conv_0"]["kernel"][0, 0]
+            pb = mx["proj"]["Conv_0"]["Conv_0"]["bias"]
+            if train:
+                y1, x2 = fused_ln_mixer_head_train(
+                    x, p[f"norm_mix_{i}"]["scale"],
+                    p[f"norm_mix_{i}"]["bias"],
+                    g["amp_scale"][0, 0, 0], g["amp_bias"],
+                    g["pha_scale"][0, 0, 0], g["pha_bias"])
+                x1 = _local_mixer_cm(y1, mx["local"], win, heads,
+                                     train=True)
+                x = fused_block_tail_train(x, x1, x2, pk, pb,
+                                           _ffn_flat(p[f"ffn_{i}"]), mask)
+            else:
+                y1, x2 = fused_ln_mixer_head_cm(
+                    x, p[f"norm_mix_{i}"]["scale"],
+                    p[f"norm_mix_{i}"]["bias"],
+                    g["amp_scale"][0, 0, 0], g["amp_bias"],
+                    g["pha_scale"][0, 0, 0], g["pha_bias"],
+                    out_dtype=bdtype)
+                x1 = _local_mixer_cm(y1, mx["local"], win, heads)
+                x = fused_block_tail_cm(x, x1, x2, pk, pb,
+                                        _ffn_flat(p[f"ffn_{i}"]))
         else:
             y = _ln_cm(x, p[f"norm_mix_{i}"]["scale"],
                        p[f"norm_mix_{i}"]["bias"])
-            x1 = _local_mixer_cm(y[:, :half], mx["local"], win, heads)
-            x2 = _global_mixer_cm(y[:, half:], mx["global"])
+            # bf16res on non-TPU backends: mirror the kernel semantics
+            # (bf16 rounding at branch kernel boundaries, f32 math)
+            rnd = ((lambda t: t.astype(bdtype).astype(x.dtype))
+                   if bdtype is not None and x.dtype != bdtype
+                   else (lambda t: t))
+            x1 = rnd(_local_mixer_cm(rnd(y[:, :half]), mx["local"],
+                                     win, heads, train=train))
+            x2 = rnd(_global_mixer_cm(rnd(y[:, half:]), mx["global"],
+                                      train=train))
             mixed = _pointconv_cm(jnp.concatenate([x1, x2], axis=1),
                                   mx["proj"])
+            if mask is not None:
+                mixed = mixed * mask
             x = x + mixed
-            x = _ffn_cm(x, p[f"ffn_{i}"])
+            x = _ffn_cm(x, p[f"ffn_{i}"], train=train)
     return x
 
 
-def _lgt_cm(z, p, win, heads, num_block=(2, 1), sdtype=None):
+def _lgt_cm(z, p, win, heads, num_block=(2, 1), sdtype=None,
+            res_f32=False, train=False, drop_rate=0.0, rng=None):
     """LGT prior on NHWC input/output with a channel-major trunk.
 
-    `sdtype` (see `_storage_dtype`): bf16 activation storage for the
-    whole trunk; patch embed, the final tail conv and the residual add
-    stay f32."""
+    `sdtype`/`res_f32` (see `_storage_dtype`): bf16 activation storage.
+    With res_f32 (the bf16res mode) only the mixer branch tensors
+    inside each LGB block are bf16; the residual stream, inter-scale
+    convs/resamples, patch embed, tail conv and residual add stay
+    f32. Without it the whole trunk is bf16 storage."""
     # patch embed (patch_size=1): depthwise 1x1 = per-channel affine
     kdw = p["patch_dw"]["Conv_0"]["kernel"][0, 0, 0]  # [C]
     bdw = p["patch_dw"]["Conv_0"]["bias"]
@@ -349,26 +439,38 @@ def _lgt_cm(z, p, win, heads, num_block=(2, 1), sdtype=None):
     fea = x * kdw[None, :, None, None] + bdw[None, :, None, None]
     fea = _pointconv_cm(fea, p["patch_pw"])
     fea = _ln_cm(fea, p["patch_norm_ln"]["scale"], p["patch_norm_ln"]["bias"])
-    if sdtype is not None:
-        fea = fea.astype(sdtype)
+    bdtype = sdtype if res_f32 else None  # branch-only storage dtype
+    stream_sdtype = None if res_f32 else sdtype
+    if stream_sdtype is not None:
+        fea = fea.astype(stream_sdtype)
 
     scales = len(num_block)
+
+    def stack_rng():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
     skips = []
     for i in range(scales - 1):
-        fea = _lgb_cm(fea, p[f"enc_lgb_{i}"], num_block[i], win, heads)
+        fea = _lgb_cm(fea, p[f"enc_lgb_{i}"], num_block[i], win, heads,
+                      bdtype, train, drop_rate, stack_rng())
         skips.append(fea)
         fea = sample_scale_cm(fea, 0.5).astype(fea.dtype)
-        fea = _pointconv_cm(fea, p[f"enc_down_{i}"], sdtype)
+        fea = _pointconv_cm(fea, p[f"enc_down_{i}"], stream_sdtype)
 
-    fea = _lgb_cm(fea, p["bottleneck"], num_block[-1], win, heads)
+    fea = _lgb_cm(fea, p["bottleneck"], num_block[-1], win, heads, bdtype,
+                  train, drop_rate, stack_rng())
 
     for i in range(scales - 1):
         fea = sample_scale_cm(fea, 2).astype(fea.dtype)
-        fea = _pointconv_cm(fea, p[f"dec_up_{i}"], sdtype)
+        fea = _pointconv_cm(fea, p[f"dec_up_{i}"], stream_sdtype)
         fea = jnp.concatenate([fea, skips[scales - 2 - i]], axis=1)
-        fea = _pointconv_cm(fea, p[f"dec_fuse_{i}"], sdtype)
+        fea = _pointconv_cm(fea, p[f"dec_fuse_{i}"], stream_sdtype)
         fea = _lgb_cm(fea, p[f"dec_lgb_{i}"], num_block[scales - 2 - i],
-                      win, heads)
+                      win, heads, bdtype, train, drop_rate, stack_rng())
 
     out = _pointconv_cm(fea.astype(jnp.float32), p["tail"])
     return jnp.moveaxis(out, 1, -1) + z
@@ -391,8 +493,18 @@ def _pointconv_nhwc(x, p):
 
 
 def lgteun_fast_forward(params, ms, pan, *, stage=2, window_size=8,
-                        num_heads=2, num_block=(2, 1)):
-    """params = the LGTEUN module's param tree; ms/pan NHWC."""
+                        num_heads=2, num_block=(2, 1), train=False,
+                        drop_rate=0.0, rng=None):
+    """params = the LGTEUN module's param tree; ms/pan NHWC.
+
+    `train=True` is the TPU training fast path: same channel-major
+    trunk, fused kernels routed through their custom_vjp wrappers
+    (Pallas forward, XLA-recompute backward) and the reference's
+    mixer-proj Dropout(drop_rate) applied as in-kernel masks sampled
+    from `rng` (one split per LGB block; `rng=None` disables dropout).
+    Storage is always f32 in training (LGTEUN_EVAL_DTYPE is an
+    inference flag). Gradient parity vs the flax module is tested in
+    tests/test_lgteun_fast_train.py."""
     z = sample_scale(ms, 4)
 
     def down(x):
@@ -404,7 +516,7 @@ def lgteun_fast_forward(params, ms, pan, *, stage=2, window_size=8,
         return _depconv_nhwc(sample_scale(x, 2), params["DT"]["dw1"])
 
     out = z
-    sdtype = _storage_dtype()
+    sdtype, res_f32 = (None, False) if train else _storage_dtype()
     for i in range(stage):
         eta = params[f"eta_{i}"]
         ms_term = up(down(z) - ms)
@@ -413,5 +525,6 @@ def lgteun_fast_forward(params, ms, pan, *, stage=2, window_size=8,
         z = z - eta * (ms_term + pan_term)
         if i == stage - 1:  # earlier priors are dead code (see lgteun.py)
             out = _lgt_cm(z, params[f"prior_{i}"], window_size, num_heads,
-                          num_block, sdtype=sdtype)
+                          num_block, sdtype=sdtype, res_f32=res_f32,
+                          train=train, drop_rate=drop_rate, rng=rng)
     return out

@@ -286,18 +286,26 @@ def _kernel(x_ref, ln_g, ln_b, w1t, b1, w2t, b2, dw, bdw,
 
 
 def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
-                 w2t, b2, dw, bdw, w3t, b3, out_ref, *, th, w, c, c4, h_img,
-                 eps, mxu, rat):
-    """Block-tail: xm = x + proj([x1; x2]); out = xm + FFN(LN(xm)).
+                 w2t, b2, dw, bdw, w3t, b3, *refs, th, w, c, c4, h_img,
+                 eps, mxu, rat, masked=False):
+    """Block-tail: xm = x + [mask *] proj([x1; x2]); out = xm +
+    FFN(LN(xm)).
 
     Same whole-image-per-program structure as `_kernel`; the 1x1 proj
     and the mixer residual are recomputed per tile INCLUDING the two
     halo rows (proj is pointwise, so halo xm rows are exact), which
     keeps only x/x1/x2 resident instead of a fourth xm image. bf16
-    in/out refs upcast on load; internal math is always f32."""
+    in/out refs upcast on load; internal math is always f32.
+
+    `masked`: an extra [1, c, h*w] dropout-mask input (values 0 or
+    1/keep) multiplies the proj output before the residual add — the
+    training path's Dropout(0.1) after the mixer proj (reference
+    LGT.py:198)."""
+    m_ref, out_ref = refs if masked else (None, refs[0])
     xi = x_ref[0].astype(jnp.float32)    # [c, h*w]
     x1i = x1_ref[0].astype(jnp.float32)  # [c//2, h*w]
     x2i = x2_ref[0].astype(jnp.float32)
+    mi = m_ref[0].astype(jnp.float32) if masked else None
     nt = h_img // th
     n_all = (th + 2) * w
     ch = c // 2
@@ -323,8 +331,11 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
                    else jnp.zeros((cc, w), jnp.float32))
             return jnp.concatenate([top, img[:, lo:hi], bot], axis=1)
 
-        xm = (seg_of(xi, c) + mm(wp1t[:], seg_of(x1i, ch))
-              + mm(wp2t[:], seg_of(x2i, ch)) + bp[:])
+        mixed = (mm(wp1t[:], seg_of(x1i, ch))
+                 + mm(wp2t[:], seg_of(x2i, ch)) + bp[:])
+        if masked:
+            mixed = mixed * seg_of(mi, c)
+        xm = seg_of(xi, c) + mixed
 
         mu = jnp.mean(xm, axis=0, keepdims=True)
         var = jnp.mean((xm - mu) ** 2, axis=0, keepdims=True)
@@ -354,8 +365,8 @@ def _tail_kernel(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b, w1t, b1,
 
 
 def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
-                       w1t, b1, w2t, b2, dw, bdw, w3t, b3, out_ref, *, w, c,
-                       c4, n, eps, mxu, rat):
+                       w1t, b1, w2t, b2, dw, bdw, w3t, b3, *refs, w, c,
+                       c4, n, eps, mxu, rat, masked=False):
     """Whole-image, roll-based variant of `_tail_kernel` for images
     whose row length W is not a multiple of the 128-lane tile (the
     64x64 bottleneck scale). Halo lane-slices at W-offsets would be
@@ -364,7 +375,9 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
     with row/column edge masks — rolls take any shift, and no slice or
     concat ever crosses a lane boundary. One pass, no row tiling
     (VMEM: the bottleneck image is 1/4 the pixels of the full-res
-    tiles). bf16 in/out refs upcast on load; internal math always f32."""
+    tiles). bf16 in/out refs upcast on load; internal math always f32.
+    `masked` adds the dropout-mask input (see `_tail_kernel`)."""
+    m_ref, out_ref = refs if masked else (None, refs[0])
     xi = x_ref[0].astype(jnp.float32)
 
     def mm(wt, t, bias=None):
@@ -373,8 +386,11 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
             preferred_element_type=jnp.float32)
         return out if bias is None else out + bias[:]
 
-    xm = (xi + mm(wp1t[:], x1_ref[0].astype(jnp.float32))
-          + mm(wp2t[:], x2_ref[0].astype(jnp.float32)) + bp[:])
+    mixed = (mm(wp1t[:], x1_ref[0].astype(jnp.float32))
+             + mm(wp2t[:], x2_ref[0].astype(jnp.float32)) + bp[:])
+    if masked:
+        mixed = mixed * m_ref[0].astype(jnp.float32)
+    xm = xi + mixed
 
     mu = jnp.mean(xm, axis=0, keepdims=True)
     var = jnp.mean((xm - mu) ** 2, axis=0, keepdims=True)
@@ -426,12 +442,14 @@ def _tail_kernel_rolls(x_ref, x1_ref, x2_ref, wp1t, wp2t, bp, ln_g, ln_b,
 
 
 def block_tail_xla(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias, ffn_params,
-                   eps=1e-5):
+                   eps=1e-5, mask=None):
     """XLA reference for the fused block tail, channel-major [B,C,H,W]:
-    xm = x + 1x1conv([x1; x2]); return xm + FFN(LN(xm))."""
+    xm = x + [mask *] 1x1conv([x1; x2]); return xm + FFN(LN(xm))."""
     cat = jnp.concatenate([x1_cm, x2_cm], axis=1)
     mixed = (jnp.einsum("bchw,cd->bdhw", cat, proj_kernel)
              + proj_bias[None, :, None, None])
+    if mask is not None:
+        mixed = mixed * mask
     xm = x_cm + mixed
     y = ln_ffn_xla(jnp.moveaxis(xm, 1, -1), ffn_params, eps=eps)
     return jnp.moveaxis(y, -1, 1)
@@ -441,7 +459,7 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
                         ffn_params, *, eps: float = 1e-5,
                         tile_rows: int = 32, interpret: bool = False,
                         taps: str | None = None,
-                        gelu: str | None = None):
+                        gelu: str | None = None, mask=None):
     """Fused LGB block tail on channel-major [B, C, H, W]:
 
         xm  = x + proj([x1; x2])      (the mixer 1x1 proj + residual)
@@ -460,9 +478,11 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
 
     `taps` selects the depthwise-tap engine ('vpu'/'mxu', see
     `_taps_mode`) and `gelu` the tanh engine ('tanh'/'rational', see
-    `_gelu_mode`); None reads the env flags at trace time."""
+    `_gelu_mode`); None reads the env flags at trace time. `mask`
+    (training): [B,C,H,W] dropout mask multiplied onto the proj
+    output before the residual add."""
     return _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel,
-                                  proj_bias, ffn_params, eps=eps,
+                                  proj_bias, ffn_params, mask, eps=eps,
                                   tile_rows=tile_rows, interpret=interpret,
                                   taps=taps or _taps_mode(),
                                   gelu=gelu or _gelu_mode())
@@ -471,22 +491,26 @@ def fused_block_tail_cm(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
 @functools.partial(jax.jit, static_argnames=("eps", "tile_rows", "interpret",
                                              "taps", "gelu"))
 def _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
-                           ffn_params, *, eps: float, tile_rows: int,
-                           interpret: bool, taps: str, gelu: str = "tanh"):
+                           ffn_params, mask=None, *, eps: float,
+                           tile_rows: int, interpret: bool, taps: str,
+                           gelu: str = "tanh"):
     b, c, h, w = x_cm.shape
     c4 = ffn_params["w1"].shape[-1]
     ch = c // 2
     mxu = taps == "mxu"
     rat = gelu == "rational"
+    masked = mask is not None
     if w % 128 == 0:
         th = tile_rows
         while h % th:
             th //= 2
         kernel = functools.partial(_tail_kernel, th=th, w=w, c=c, c4=c4,
-                                   h_img=h, eps=eps, mxu=mxu, rat=rat)
+                                   h_img=h, eps=eps, mxu=mxu, rat=rat,
+                                   masked=masked)
     elif (h * w) % 128 == 0:
         kernel = functools.partial(_tail_kernel_rolls, w=w, c=c, c4=c4,
-                                   n=h * w, eps=eps, mxu=mxu, rat=rat)
+                                   n=h * w, eps=eps, mxu=mxu, rat=rat,
+                                   masked=masked)
     else:
         raise ValueError(f"image {h}x{w} is not lane-tile aligned")
     col = lambda p: p.reshape(-1, 1)
@@ -496,39 +520,78 @@ def _fused_block_tail_impl(x_cm, x1_cm, x2_cm, proj_kernel, proj_bias,
                                   memory_space=pltpu.VMEM)
     dw_arg = (_mxu_tap_weights(ffn_params["dw"]) if mxu
               else ffn_params["dw"].reshape(9, c4).T)
+    operands = [
+        x_cm.reshape(b, c, h * w), x1_cm.reshape(b, ch, h * w),
+        x2_cm.reshape(b, ch, h * w),
+        proj_kernel[:ch].T, proj_kernel[ch:].T, col(proj_bias),
+        col(ffn_params["ln_gamma"]), col(ffn_params["ln_beta"]),
+        ffn_params["w1"].T, col(ffn_params["b1"]),
+        ffn_params["w2"].T, col(ffn_params["b2"]),
+        dw_arg, col(ffn_params["bdw"]),
+        ffn_params["w3"].T, col(ffn_params["b3"]),
+    ]
+    in_specs = [
+        img(c), img(ch), img(ch),
+        const((c, ch)),   # proj1^T
+        const((c, ch)),   # proj2^T
+        const((c, 1)),    # proj bias
+        const((c, 1)),    # ln_gamma
+        const((c, 1)),    # ln_beta
+        const((c4, c)),   # w1^T
+        const((c4, 1)),   # b1
+        const((c4, c4)),  # w2^T
+        const((c4, 1)),   # b2
+        const(dw_arg.shape),  # dw taps ([c4, 9] vpu / [3, c4, 3c4] mxu)
+        const((c4, 1)),   # bdw
+        const((c, c4)),   # w3^T
+        const((c, 1)),    # b3
+    ]
+    if masked:
+        operands.append(mask.reshape(b, c, h * w))
+        in_specs.append(img(c))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, h * w), x_cm.dtype),
         grid=(b,),
-        in_specs=[
-            img(c), img(ch), img(ch),
-            const((c, ch)),   # proj1^T
-            const((c, ch)),   # proj2^T
-            const((c, 1)),    # proj bias
-            const((c, 1)),    # ln_gamma
-            const((c, 1)),    # ln_beta
-            const((c4, c)),   # w1^T
-            const((c4, 1)),   # b1
-            const((c4, c4)),  # w2^T
-            const((c4, 1)),   # b2
-            const(dw_arg.shape),  # dw taps ([c4, 9] vpu / [3, c4, 3c4] mxu)
-            const((c4, 1)),   # bdw
-            const((c, c4)),   # w3^T
-            const((c, 1)),    # b3
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, c, h * w), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=_VMEM_PARAMS,
         interpret=interpret or jax.default_backend() != "tpu",
-    )(x_cm.reshape(b, c, h * w), x1_cm.reshape(b, ch, h * w),
-      x2_cm.reshape(b, ch, h * w),
-      proj_kernel[:ch].T, proj_kernel[ch:].T, col(proj_bias),
-      col(ffn_params["ln_gamma"]), col(ffn_params["ln_beta"]),
-      ffn_params["w1"].T, col(ffn_params["b1"]),
-      ffn_params["w2"].T, col(ffn_params["b2"]),
-      dw_arg, col(ffn_params["bdw"]),
-      ffn_params["w3"].T, col(ffn_params["b3"]))
+    )(*operands)
     return out.reshape(b, c, h, w)
+
+
+@jax.custom_vjp
+def fused_block_tail_train(x, x1, x2, proj_kernel, proj_bias, ffn_params,
+                           mask):
+    """Differentiable fused LGB block tail, channel-major: Pallas
+    forward (`fused_block_tail_cm`, engine flags read at trace time),
+    XLA backward via recompute of the identical-math `block_tail_xla`.
+    `mask` is the mixer-proj dropout mask ([B,C,H,W], values 0 or
+    1/keep) or None (deterministic / drop_rate 0 — no mask DMA); None
+    is an empty pytree so the custom_vjp signature stays fixed and its
+    cotangent is trivially None."""
+    return fused_block_tail_cm(x, x1, x2, proj_kernel, proj_bias,
+                               ffn_params, mask=mask)
+
+
+def _tail_train_fwd(x, x1, x2, proj_kernel, proj_bias, ffn_params, mask):
+    out = fused_block_tail_cm(x, x1, x2, proj_kernel, proj_bias,
+                              ffn_params, mask=mask)
+    return out, (x, x1, x2, proj_kernel, proj_bias, ffn_params, mask)
+
+
+def _tail_train_bwd(res, g):
+    x, x1, x2, proj_kernel, proj_bias, ffn_params, mask = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e, f, m: block_tail_xla(a, b, c, d, e, f,
+                                                   mask=m),
+        x, x1, x2, proj_kernel, proj_bias, ffn_params, mask)
+    return vjp(g)
+
+
+fused_block_tail_train.defvjp(_tail_train_fwd, _tail_train_bwd)
 
 
 @jax.custom_vjp

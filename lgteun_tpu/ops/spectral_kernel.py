@@ -281,7 +281,8 @@ def _head_kernel(x_ref, lng_ref, lnb_ref, asc_ref, abi_ref, psc_ref,
 def fused_ln_mixer_head_cm(x, ln_scale, ln_bias, amp_scale, amp_bias,
                            pha_scale, pha_bias, *, eps: float = 1e-5,
                            interpret: bool = False,
-                           trig: str | None = None):
+                           trig: str | None = None,
+                           out_dtype=None):
     """Fused LGB mixer head on channel-major [B, C, H, W]:
 
         y  = LN(x)                     (channel LayerNorm, per pixel)
@@ -291,16 +292,23 @@ def fused_ln_mixer_head_cm(x, ln_scale, ln_bias, amp_scale, amp_bias,
     Returns (y1, x2), each [B, C/2, H, W]. ln_scale/ln_bias: [C];
     amp/pha params: [C/2]. Saves the XLA LN pass and the mixer half's
     HBM round trip vs LN + `fused_global_mixer_cm`. `trig` selects the
-    sin/cos engine ('native'/'poly', see `_trig_mode`)."""
+    sin/cos engine ('native'/'poly', see `_trig_mode`). `out_dtype`
+    overrides the output storage dtype (default: x.dtype) — the
+    bf16res serving mode keeps x f32 but stores the branch outputs
+    bf16; kernel math is f32 either way."""
     return _fused_head_impl(x, ln_scale, ln_bias, amp_scale, amp_bias,
                             pha_scale, pha_bias, eps=eps,
-                            interpret=interpret, trig=trig or _trig_mode())
+                            interpret=interpret, trig=trig or _trig_mode(),
+                            out_dtype=(jnp.dtype(out_dtype).name
+                                       if out_dtype is not None else None))
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "trig"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "trig",
+                                             "out_dtype"))
 def _fused_head_impl(x, ln_scale, ln_bias, amp_scale, amp_bias,
                      pha_scale, pha_bias, *, eps: float, interpret: bool,
-                     trig: str):
+                     trig: str, out_dtype: str | None = None):
+    odt = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
     b, c, h, w = x.shape
     c2 = c // 2
     mats = _mixer_mats(h, w)
@@ -313,8 +321,8 @@ def _fused_head_impl(x, ln_scale, ln_bias, amp_scale, amp_bias,
                                   memory_space=pltpu.VMEM)
     y1, x2 = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, c2, h, w), x.dtype),
-                   jax.ShapeDtypeStruct((b, c2, h, w), x.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((b, c2, h, w), odt),
+                   jax.ShapeDtypeStruct((b, c2, h, w), odt)),
         grid=(b,),
         in_specs=[
             img(c),
@@ -327,6 +335,33 @@ def _fused_head_impl(x, ln_scale, ln_bias, amp_scale, amp_bias,
     )(x, col(ln_scale), col(ln_bias), col(amp_scale), col(amp_bias),
       col(pha_scale), col(pha_bias), *(jnp.asarray(m) for m in mats))
     return y1, x2
+
+
+@jax.custom_vjp
+def fused_ln_mixer_head_train(x, ln_scale, ln_bias, amp_scale, amp_bias,
+                              pha_scale, pha_bias):
+    """Differentiable LGB mixer head: Pallas forward
+    (`fused_ln_mixer_head_cm`), XLA backward via recompute of the
+    identical-math `ln_mixer_head_xla_cm`. Returns (y1, x2) — the
+    training-path entry for the fast trunk."""
+    return fused_ln_mixer_head_cm(x, ln_scale, ln_bias, amp_scale,
+                                  amp_bias, pha_scale, pha_bias)
+
+
+def _head_train_fwd(x, ln_scale, ln_bias, amp_scale, amp_bias,
+                    pha_scale, pha_bias):
+    out = fused_ln_mixer_head_cm(x, ln_scale, ln_bias, amp_scale,
+                                 amp_bias, pha_scale, pha_bias)
+    return out, (x, ln_scale, ln_bias, amp_scale, amp_bias, pha_scale,
+                 pha_bias)
+
+
+def _head_train_bwd(res, g):
+    _, vjp = jax.vjp(ln_mixer_head_xla_cm, *res)
+    return vjp(g)
+
+
+fused_ln_mixer_head_train.defvjp(_head_train_fwd, _head_train_bwd)
 
 
 def ln_mixer_head_xla_cm(x, ln_scale, ln_bias, amp_scale, amp_bias,

@@ -317,6 +317,52 @@ def fused_window_attention_v3_packed(xp, wqkv, bqkv, pos, *, heads: int,
     )(xp, w_b, bqkv.reshape(3 * c, 1), pos2)
 
 
+def window_attention_xla_packed(xp, wqkv, bqkv, pos, heads, scale):
+    """XLA reference with the packed channel-major [N2, C, 2S]
+    contract of `fused_window_attention_v3_packed` (unpack -> plain
+    window attention -> repack; reshapes only, no relayout matmuls).
+    Used as the recompute backward for the packed-train wrapper."""
+    n2, c, s2 = xp.shape
+    s = s2 // 2
+    xw = xp.reshape(n2, c, 2, s).transpose(0, 2, 3, 1).reshape(2 * n2, s, c)
+    out = window_attention_xla(xw, wqkv, bqkv, pos, heads, scale)
+    return (out.reshape(n2, 2, s, c).transpose(0, 3, 1, 2)
+            .reshape(n2, c, s2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_window_attention_v3_packed_train(xp, wqkv, bqkv, pos, heads: int,
+                                           scale: float):
+    """Differentiable packed-pair window attention on the channel-major
+    [N2, C, 2S] contract: Pallas v3 forward, XLA backward via recompute
+    (`window_attention_xla_packed`) — the training-path entry for the
+    fast trunk's local mixer (the inference trunk calls the raw packed
+    kernel)."""
+    return fused_window_attention_v3_packed(xp, wqkv, bqkv, pos,
+                                            heads=heads, scale=scale,
+                                            tanh_exp=_v3_tanh_exp())
+
+
+def _packed_train_fwd(xp, wqkv, bqkv, pos, heads, scale):
+    return (fused_window_attention_v3_packed(xp, wqkv, bqkv, pos,
+                                             heads=heads, scale=scale,
+                                             tanh_exp=_v3_tanh_exp()),
+            (xp, wqkv, bqkv, pos))
+
+
+def _packed_train_bwd(heads, scale, res, g):
+    xp, wqkv, bqkv, pos = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: window_attention_xla_packed(a, b, c, d, heads,
+                                                       scale),
+        xp, wqkv, bqkv, pos)
+    return vjp(g)
+
+
+fused_window_attention_v3_packed_train.defvjp(_packed_train_fwd,
+                                              _packed_train_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_window_attention_v3(xw, wqkv, bqkv, pos, heads: int, scale: float):
     """Differentiable packed-pair window attention on [N, S, C] windows

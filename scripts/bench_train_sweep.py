@@ -82,8 +82,15 @@ def main():
 
     rng = np.random.default_rng(0)
     rows = {}
-    for mixed in (False, True):
-        label = "bf16-selective" if mixed else "f32"
+    # (label, mixed_precision, LGTEUN_FAST_TRAIN) — "f32" is the
+    # shipped default (fast-path training: fused custom_vjp kernels,
+    # models/lgteun_fast.py train=True); "f32-module" pins the flax
+    # module path for comparison; the selective-bf16 recipe lives in
+    # the module path
+    modes = (("f32", False, "1"), ("f32-module", False, "0"),
+             ("bf16-selective", True, "0"))
+    for label, mixed, fast_train in modes:
+        os.environ["LGTEUN_FAST_TRAIN"] = fast_train
         for b in [int(s) for s in args.batches.split(",")]:
             cfg = Config(model_type=args.method, ms_chans=c, max_iter=10,
                          mixed_precision=mixed, remat=args.remat,
@@ -111,14 +118,20 @@ def main():
             print(f"{label:15s} batch {b:3d}: {ms:8.2f} ms/step "
                   f"{imgs:8.1f} img/s", flush=True)
 
+    os.environ.pop("LGTEUN_FAST_TRAIN", None)
     speedup = {}
-    for b in rows.get("f32", {}):
+    for b in rows.get("f32-module", {}):
         if b in rows.get("bf16-selective", {}):
-            speedup[b] = round(rows["f32"][b]["ms_per_step"]
+            speedup[b] = round(rows["f32-module"][b]["ms_per_step"]
                                / rows["bf16-selective"][b]["ms_per_step"], 3)
+    fast_speedup = {}
+    for b in rows.get("f32-module", {}):
+        if b in rows.get("f32", {}):
+            fast_speedup[b] = round(rows["f32-module"][b]["ms_per_step"]
+                                    / rows["f32"][b]["ms_per_step"], 3)
     out = {"method": args.method, "bands": c, "remat": args.remat,
            "backend": jax.default_backend(), "by_mode": rows,
-           "bf16_speedup": speedup}
+           "bf16_speedup": speedup, "fast_train_speedup": fast_speedup}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -15,7 +15,9 @@ budget, and nothing measured the METRIC-level delta. This script does:
      fused     shipped TPU default (channel-major + Pallas kernels)
      highest   LGTEUN_MATMUL_PRECISION=highest (parity grade: no
                Pallas kernels, HIGHEST-precision XLA matmuls)
-     bf16      LGTEUN_EVAL_DTYPE=bf16 (selective bf16 storage)
+     bf16      LGTEUN_EVAL_DTYPE=bf16 (full selective bf16 storage)
+     bf16res   LGTEUN_EVAL_DTYPE=bf16res (bf16 mixer branches, f32
+               residual stream -- the in-budget serving mode)
      oracle64  float64 module forward on CPU (x64) — the numerics
                ceiling
 3. default: orchestrate every mode as a subprocess (env flags are read
@@ -40,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/lgteun_jax"))
 
-MODES = ("module", "fused", "highest", "bf16", "oracle64")
+MODES = ("module", "fused", "highest", "bf16", "bf16res", "oracle64")
 METRICS = ("psnr", "ssim", "qindex", "sam", "ergas")
 
 
@@ -205,6 +207,7 @@ def main():
         "fused": {},
         "highest": {"LGTEUN_MATMUL_PRECISION": "highest"},
         "bf16": {"LGTEUN_EVAL_DTYPE": "bf16"},
+        "bf16res": {"LGTEUN_EVAL_DTYPE": "bf16res"},
         "oracle64": {},
     }
     for mode in MODES:

@@ -138,6 +138,32 @@ def _cases(rng):
                       t.astype(jnp.float32) for t in fused_ln_mixer_head_cm(
                           xh.astype(jnp.bfloat16), lng, lnb, asc, abi, psc,
                           pbi, trig="poly")), want_head))
+    # bf16res mode: f32 input, bf16 branch OUTPUTS (out_dtype override)
+    cases.append(("mixer head f32-in bf16-out",
+                  lambda: tuple(
+                      t.astype(jnp.float32) for t in fused_ln_mixer_head_cm(
+                          xh, lng, lnb, asc, abi, psc, pbi,
+                          out_dtype=jnp.bfloat16)), want_head))
+    # training tail: f32 residual + bf16 branch inputs (bf16res) and the
+    # masked (dropout) variants of both tail kernels
+    cases.append(("block tail f32-res bf16-branch",
+                  lambda: fused_block_tail_cm(
+                      xt, x1t.astype(jnp.bfloat16), x2t.astype(jnp.bfloat16),
+                      pk, pb, ffn, tile_rows=8), want_tail))
+    mask_t = jnp.asarray(
+        (rng.random((2, cc, 16, 128)) < 0.9) / 0.9, jnp.float32)
+    mask_r = jnp.asarray(
+        (rng.random((2, cc, 16, 16)) < 0.9) / 0.9, jnp.float32)
+    cases.append(("block tail tiled masked",
+                  lambda: fused_block_tail_cm(
+                      xt, x1t, x2t, pk, pb, ffn, tile_rows=8, mask=mask_t),
+                  lambda: block_tail_xla(xt, x1t, x2t, pk, pb, ffn,
+                                         mask=mask_t)))
+    cases.append(("block tail rolls masked",
+                  lambda: fused_block_tail_cm(
+                      xr, x1r, x2r, pk, pb, ffn, mask=mask_r),
+                  lambda: block_tail_xla(xr, x1r, x2r, pk, pb, ffn,
+                                         mask=mask_r)))
 
     # --- whole-LGB-block megakernel (fuse level 3) --------------------------
     from lgteun_tpu.ops.lgb_block_kernel import (

@@ -135,10 +135,16 @@ def test_fast_forward_bf16_storage_drift_bounded(rng, monkeypatch):
     params = model.init(jax.random.PRNGKey(0), ms, pan)["params"]
     monkeypatch.delenv("LGTEUN_EVAL_DTYPE", raising=False)
     f32 = np.asarray(lgteun_fast_forward(params, ms, pan, stage=2))
-    monkeypatch.setenv("LGTEUN_EVAL_DTYPE", "bf16")
-    b16 = lgteun_fast_forward(params, ms, pan, stage=2)
-    assert b16.dtype == jnp.float32  # output precision is f32
-    d = np.abs(np.asarray(b16) - f32)
     scale = np.abs(f32).max()
-    assert d.mean() <= 5e-3 * scale, (d.mean(), scale)
-    assert d.max() <= 5e-2 * scale, (d.max(), scale)
+    drift = {}
+    for mode in ("bf16", "bf16res"):
+        monkeypatch.setenv("LGTEUN_EVAL_DTYPE", mode)
+        b16 = lgteun_fast_forward(params, ms, pan, stage=2)
+        assert b16.dtype == jnp.float32  # output precision is f32
+        d = np.abs(np.asarray(b16) - f32)
+        assert d.mean() <= 5e-3 * scale, (mode, d.mean(), scale)
+        assert d.max() <= 5e-2 * scale, (mode, d.max(), scale)
+        drift[mode] = d.mean()
+    # bf16res rounds strictly less state (branch tensors only, f32
+    # residual stream) so its drift must not exceed full bf16 storage
+    assert drift["bf16res"] <= drift["bf16"] * 1.25, drift
