@@ -37,8 +37,14 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
-def time_step(runner, batch_np, n_steps=10):
-    """ms per train step via the runner's on-device scan chunk."""
+def time_step(runner, batch_np, n_steps=40, reps=3):
+    """ms per train step via the runner's on-device scan chunk.
+
+    The two-point estimator differences a long and a short chunk;
+    under tunnel-stall noise (observed: +-50% on single samples) the
+    span must be LONG (n_steps=40) so a stall in either sample stays
+    small relative to the measured window, and the min over `reps`
+    repetitions of BOTH points is taken (stalls only ever add time)."""
     runner._train_step = runner._build_train_step()  # sets _step_inner
     chunk = runner._build_train_chunk()
 
@@ -60,8 +66,8 @@ def time_step(runner, batch_np, n_steps=10):
         return dt
 
     run(2)  # compile + warmup
-    t1 = min(run(2) for _ in range(2))
-    t2 = min(run(2 + n_steps) for _ in range(2))
+    t1 = min(run(2) for _ in range(reps))
+    t2 = min(run(2 + n_steps) for _ in range(reps))
     return (t2 - t1) / n_steps * 1000
 
 

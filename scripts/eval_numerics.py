@@ -215,10 +215,17 @@ def main():
         env.pop("LGTEUN_EVAL_DTYPE", None)
         env.pop("LGTEUN_MATMUL_PRECISION", None)
         env.update(env_for[mode])
-        r = subprocess.run([sys.executable, __file__, "--work", args.work,
-                            "--bands", str(args.bands), "--mode", mode],
-                           capture_output=True, text=True, env=env,
-                           timeout=1200)
+        try:
+            r = subprocess.run([sys.executable, __file__, "--work",
+                                args.work, "--bands", str(args.bands),
+                                "--mode", mode],
+                               capture_output=True, text=True, env=env,
+                               timeout=1500)
+        except subprocess.TimeoutExpired:
+            # a hung tunnel / starved-host compile must not kill the
+            # whole study — record the miss and keep going
+            print(f"{mode}: TIMEOUT (1500s)", flush=True)
+            continue
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         if not line:
             print(f"{mode}: FAILED\n{r.stderr[-1500:]}")
