@@ -15,14 +15,14 @@ channel-major [B, C, H, W] throughout the LGT prior:
   axis 1; the FFT mixer uses the channel-major DFT pair
   (`rfft2_pair_cm`); resizes use `sample_scale_cm`.
 
-Measured (v5e, batch 96, WV-3 8-band, K=2): 59.9 ms/batch = 26.3 MP/s,
-21.3x the RTX-3090 reference, with the full fused trunk on chip:
-mixer-head kernel -> packed v3 attention (tanh-form softmax) ->
-block-tail kernel, poly-trig engine (all 13 kernel variants PASS
-scripts/prove_kernels.py; `LGTEUN_FUSE_LEVEL` 2/1/0 stages them).
-On-chip ablation attributes ~54 of the 60 ms to the block-tail kernel,
-which is itself within ~30% of a same-FLOPs matmul probe and VPU-bound
-(GELU + taps) — see README "Known bottleneck".
+Measured (v5e, batch 96, WV-3 8-band, K=2, round 5): 55.2 ms/batch =
+28.5 MP/s (23.1x the RTX-3090 reference) in the in-budget bf16res
+storage mode, 57.4 ms = 27.4 MP/s full-f32, with the full fused trunk
+on chip: mixer-head kernel -> packed v3 attention (tanh-form softmax)
+-> block-tail kernel, poly-trig engine, channel-major unfolding (all
+24 kernel variants PASS scripts/prove_kernels.py; `LGTEUN_FUSE_LEVEL`
+3/2/1/0 stages them). The block tail dominates and is VPU-bound
+(GELU + taps) — see ROOFLINE.md for the full per-kernel budget.
 
 Used by the `UnlgFormer` Method for TPU inference (LGTEUN_FAST=0
 restores the flax module path) AND for TPU f32 training
@@ -57,7 +57,7 @@ import numpy as np
 
 from lgteun_tpu.ops import fuse_level
 from lgteun_tpu.ops.fft import irfft2_pair_cm, rfft2_pair_cm
-from lgteun_tpu.ops.resize import sample_scale, sample_scale_cm
+from lgteun_tpu.ops.resize import sample_scale_cm
 
 __all__ = ["lgteun_fast_forward"]
 
@@ -425,7 +425,8 @@ def _lgb_cm(x, p, num_blocks, win, heads, bdtype=None, train=False,
 
 def _lgt_cm(z, p, win, heads, num_block=(2, 1), sdtype=None,
             res_f32=False, train=False, drop_rate=0.0, rng=None):
-    """LGT prior on NHWC input/output with a channel-major trunk.
+    """LGT prior, channel-major [B, C, H, W] in/out (the whole fast
+    forward is channel-major end-to-end).
 
     `sdtype`/`res_f32` (see `_storage_dtype`): bf16 activation storage.
     With res_f32 (the bf16res mode) only the mixer branch tensors
@@ -435,8 +436,7 @@ def _lgt_cm(z, p, win, heads, num_block=(2, 1), sdtype=None,
     # patch embed (patch_size=1): depthwise 1x1 = per-channel affine
     kdw = p["patch_dw"]["Conv_0"]["kernel"][0, 0, 0]  # [C]
     bdw = p["patch_dw"]["Conv_0"]["bias"]
-    x = jnp.moveaxis(z, -1, 1)  # -> [B, C, H, W]
-    fea = x * kdw[None, :, None, None] + bdw[None, :, None, None]
+    fea = z * kdw[None, :, None, None] + bdw[None, :, None, None]
     fea = _pointconv_cm(fea, p["patch_pw"])
     fea = _ln_cm(fea, p["patch_norm_ln"]["scale"], p["patch_norm_ln"]["bias"])
     bdtype = sdtype if res_f32 else None  # branch-only storage dtype
@@ -473,7 +473,28 @@ def _lgt_cm(z, p, win, heads, num_block=(2, 1), sdtype=None,
                       win, heads, bdtype, train, drop_rate, stack_rng())
 
     out = _pointconv_cm(fea.astype(jnp.float32), p["tail"])
-    return jnp.moveaxis(out, 1, -1) + z
+    return out + z
+
+
+def _depconv_cm(x, p):
+    """DepConv (3x3 depthwise, zero 'SAME' padding) on [B, C, H, W] as
+    9 shifted multiply-adds — XLA fuses the chain into one elementwise
+    pass over the lane-friendly channel-major layout. The NHWC lowering
+    of the same conv is the root of the batch-8 step-time anomaly
+    (see ROOFLINE.md "The batch-8 anomaly"): C=8 in the 128-lane minor
+    dimension wastes 94% of every vector register and XLA's conv
+    schedule collapses at some batch shapes."""
+    k = p["Conv_0"]["Conv_0"]["kernel"][:, :, 0]  # [3, 3, C]
+    b = p["Conv_0"]["Conv_0"]["bias"]
+    h, w = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    acc = None
+    for dr in range(3):
+        for dc in range(3):
+            t = xp[:, :, dr:dr + h, dc:dc + w] * k[dr, dc][None, :, None,
+                                                           None]
+            acc = t if acc is None else acc + t
+    return acc + b[None, :, None, None]
 
 
 def _depconv_nhwc(x, p):
@@ -504,27 +525,34 @@ def lgteun_fast_forward(params, ms, pan, *, stage=2, window_size=8,
     from `rng` (one split per LGB block; `rng=None` disables dropout).
     Storage is always f32 in training (LGTEUN_EVAL_DTYPE is an
     inference flag). Gradient parity vs the flax module is tested in
-    tests/test_lgteun_fast_train.py."""
-    z = sample_scale(ms, 4)
+    tests/test_lgteun_fast_train.py.
+
+    The unfolding data steps (D/DT/R/RT, eta) run channel-major too:
+    their NHWC lowering (C∈{1,8} in the lane dim) was both slow and
+    the source of the batch-8 step-time anomaly — see `_depconv_cm`
+    and ROOFLINE.md."""
+    ms_cm = jnp.moveaxis(ms, -1, 1)
+    pan_cm = jnp.moveaxis(pan, -1, 1)
+    z = sample_scale_cm(ms_cm, 4)
 
     def down(x):
-        x = _depconv_nhwc(sample_scale(x, 0.5), params["D"]["dw0"])
-        return _depconv_nhwc(sample_scale(x, 0.5), params["D"]["dw1"])
+        x = _depconv_cm(sample_scale_cm(x, 0.5), params["D"]["dw0"])
+        return _depconv_cm(sample_scale_cm(x, 0.5), params["D"]["dw1"])
 
     def up(x):
-        x = _depconv_nhwc(sample_scale(x, 2), params["DT"]["dw0"])
-        return _depconv_nhwc(sample_scale(x, 2), params["DT"]["dw1"])
+        x = _depconv_cm(sample_scale_cm(x, 2), params["DT"]["dw0"])
+        return _depconv_cm(sample_scale_cm(x, 2), params["DT"]["dw1"])
 
     out = z
     sdtype, res_f32 = (None, False) if train else _storage_dtype()
     for i in range(stage):
         eta = params[f"eta_{i}"]
-        ms_term = up(down(z) - ms)
-        pan_term = _pointconv_nhwc(
-            _pointconv_nhwc(z, params["R"]) - pan, params["RT"])
+        ms_term = up(down(z) - ms_cm)
+        pan_term = _pointconv_cm(
+            _pointconv_cm(z, params["R"]) - pan_cm, params["RT"])
         z = z - eta * (ms_term + pan_term)
         if i == stage - 1:  # earlier priors are dead code (see lgteun.py)
             out = _lgt_cm(z, params[f"prior_{i}"], window_size, num_heads,
                           num_block, sdtype=sdtype, res_f32=res_f32,
                           train=train, drop_rate=drop_rate, rng=rng)
-    return out
+    return jnp.moveaxis(out, 1, -1)
